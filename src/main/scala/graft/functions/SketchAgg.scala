@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/**
+ * Distributed sketch construction.
+ *
+ * `BloomAgg` is the idiomatic typed `Aggregator[String, _, Array[Byte]]`
+ * (registerable via `functions.udaf`); `buildBloom` is the scale path: one
+ * sketch per partition, merged with `treeReduce` (log-depth, no driver
+ * fan-in bottleneck at 1000 executors).
+ */
+object SketchAgg {
+
+  final class BloomAgg(expectedItems: Long, fpp: Double)
+      extends Aggregator[String, BloomSketch, Array[Byte]] {
+    override def zero: BloomSketch = BloomSketch.create(expectedItems, fpp)
+    override def reduce(b: BloomSketch, a: String): BloomSketch = { if (a != null) b.put(a); b }
+    override def merge(b1: BloomSketch, b2: BloomSketch): BloomSketch = b1.mergeInPlace(b2)
+    override def finish(r: BloomSketch): Array[Byte] = r.serialize()
+    override def bufferEncoder: Encoder[BloomSketch] = Encoders.kryo[BloomSketch]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  def bloomAgg(expectedItems: Long, fpp: Double): BloomAgg = new BloomAgg(expectedItems, fpp)
+
+  /** Partition-parallel bloom build with log-depth merge. */
+  def buildBloom(urls: Dataset[String], expectedItems: Long, fpp: Double): BloomSketch = {
+    val empty = BloomSketch.create(expectedItems, fpp)
+    val rdd = urls.rdd.mapPartitions { it =>
+      val sk = BloomSketch.create(expectedItems, fpp)
+      it.foreach(u => if (u != null) sk.put(u))
+      Iterator.single(sk)
+    }
+    if (rdd.isEmpty()) empty
+    else rdd.treeReduce((a, b) => a.mergeInPlace(b), depth = 3)
+  }
+}

@@ -1,0 +1,146 @@
+package graft.loop
+
+import graft.corpus.CorpusTables
+import graft.functions.{BloomSketch, SketchAgg}
+import graft.model.Document
+import graft.operators.{CrawlConfig, FrontierStep}
+import graft.plans.TableIO
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Checkpointed BSP crawl loop (SURVEY.md §3.4, §4.4) — replaces the
+ * reference's continuous RabbitMQ consumer loop (worker/src/rmqredis.rs:213-257)
+ * with deterministic, resumable supersteps:
+ *
+ *   per generation g: read frontier(g) → FrontierStep.step → write
+ *   frontier(g+1) + seen delta(g) + outcomes(g) → merge delta bloom into the
+ *   cumulative sketch → atomic commit manifest with per-partition lineage
+ *   and per-stage metrics.
+ *
+ * The commit fence closes the reference's seen-set race (SURVEY.md §3.2):
+ * generation g+1's anti-join only ever reads committed state, so a URL can
+ * never be fetched twice — strictly fewer duplicate fetches than the
+ * reference, identical final seen-set (set union is order-insensitive).
+ *
+ * Resume = `TableIO.lastCommittedGen()`; a crash mid-generation leaves no
+ * visible state (manifest is written last, atomically).
+ */
+object CrawlLoop {
+
+  final case class GenStats(
+      gen: Int, frontierRows: Long, fetched: Long, discovered: Long,
+      okCount: Long, errCount: Long, rejectCount: Long, wallMs: Long)
+
+  final case class RunResult(stats: Seq[GenStats], lastGen: Int)
+
+  private val taskCols =
+    Seq("url", "host", "priority", "next_fetch", "retry_count", "gen")
+
+  /** Run (or resume) the crawl until the frontier drains or maxGens. */
+  def run(
+      spark: SparkSession,
+      io: TableIO,
+      seeds: Seq[String],
+      cfg: CrawlConfig,
+      maxGens: Int = 50): RunResult = {
+
+    val docs: Dataset[Document] = CorpusTables.documents(spark, cfg.corpus)
+
+    // --- bootstrap or resume -------------------------------------------------
+    val startGen: Int = io.lastCommittedGen() match {
+      case Some(g) => g + 1
+      case None =>
+        // gen "-1" bootstrap commit: seeds become frontier(0) AND seen delta(0-) —
+        // the reference marks a URL seen when enqueued (fanout to both queues,
+        // rmqredis.rs:138-159; SURVEY §3.3)
+        val seedDf = FrontierStep.seedFrontier(spark, seeds)
+        seedDf.write.mode("overwrite").parquet(io.genDir("frontier", 0))
+        seedDf.select("url").write.mode("overwrite").parquet(io.genDir("seen", 0))
+        import spark.implicits._
+        val bloom = SketchAgg.buildBloom(
+          seedDf.select("url").as[String], cfg.bloomExpectedItems, cfg.bloomFpp)
+        io.writeBloom(0, bloom.serialize())
+        io.commit(0, s"""{"gen":0,"kind":"bootstrap","seeds":${seeds.size}}""")
+        1
+    }
+
+    val stats = Seq.newBuilder[GenStats]
+    var gen = startGen
+    var frontierEmpty = false
+
+    while (gen <= maxGens && !frontierEmpty) {
+      val t0 = System.nanoTime()
+      import spark.implicits._
+
+      val prevGen = gen - 1
+      val frontier = spark.read.parquet(io.genDir("frontier", prevGen))
+      val frontierRows = frontier.count()
+      if (frontierRows == 0L) { frontierEmpty = true }
+      else {
+        val seen = spark.read.parquet(io.deltaDirs("seen", prevGen): _*)
+          .select("url")
+        val bloom = io.readBloom(prevGen).map(BloomSketch.deserialize)
+
+        val res = FrontierStep.step(spark, frontier, seen, bloom, docs, cfg, prevGen)
+
+        // ---- the "fanout exchange" write: discovered computed once, two readers
+        res.nextFrontier.select(taskCols.map(col): _*)
+          .write.mode("overwrite").parquet(io.genDir("frontier", gen))
+        res.discovered.select("url")
+          .write.mode("overwrite").parquet(io.genDir("seen", gen))
+        res.outcomes.write.mode("overwrite").parquet(io.genDir("outcomes", gen))
+
+        // ---- incremental bloom: delta sketch ∪ cumulative (no seen rescan)
+        val deltaUrls = spark.read.parquet(io.genDir("seen", gen)).as[String]
+        val deltaBloom = SketchAgg.buildBloom(deltaUrls, cfg.bloomExpectedItems, cfg.bloomFpp)
+        val merged = bloom match {
+          case Some(b) => b.mergeInPlace(deltaBloom)
+          case None => deltaBloom
+        }
+        io.writeBloom(gen, merged.serialize())
+
+        // ---- metrics + lineage (A1-A3)
+        val oc = spark.read.parquet(io.genDir("outcomes", gen))
+          .groupBy("outcome").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val discoveredN = deltaUrls.count()
+        val fetchedN = oc.values.sum
+        val wallMs = (System.nanoTime() - t0) / 1000000L
+        val st = GenStats(prevGen, frontierRows, fetchedN, discoveredN,
+          oc.getOrElse("ok", 0L), oc.getOrElse("err", 0L), oc.getOrElse("reject", 0L), wallMs)
+        stats += st
+        io.commit(gen,
+          s"""{"gen":$gen,"frontier_rows":$frontierRows,"fetched":$fetchedN,""" +
+          s""""discovered":$discoveredN,"ok":${st.okCount},"err":${st.errCount},""" +
+          s""""reject":${st.rejectCount},"wall_ms":$wallMs,""" +
+          s""""partitions":${spark.sparkContext.defaultParallelism}}""")
+
+        spark.catalog.clearCache() // drop per-step persists; next gen reads parquet
+      }
+      gen += 1
+    }
+    RunResult(stats.result(), gen - 1)
+  }
+
+  /** Final crawl output: the full seen set with the generation each URL was
+   * first enqueued at — the (url → generation) map of SURVEY §7.6. */
+  def seenWithGen(spark: SparkSession, io: TableIO): DataFrame = {
+    val last = io.lastCommittedGen().getOrElse(0)
+    io.deltaDirs("seen", last).zipWithIndex.map { case (dir, _) =>
+      val g = dir.split("gen=").last.toInt
+      spark.read.parquet(dir).select(col("url"), lit(g).as("gen"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** All outcomes across committed generations. */
+  def allOutcomes(spark: SparkSession, io: TableIO): DataFrame = {
+    val last = io.lastCommittedGen().getOrElse(0)
+    val dirs = io.deltaDirs("outcomes", last)
+    if (dirs.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(Int, String, String, String)]
+        .toDF("gen", "url", "outcome", "error_kind")
+    } else spark.read.parquet(dirs: _*)
+  }
+}

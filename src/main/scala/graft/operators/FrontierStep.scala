@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.core.HostFilter
+import graft.corpus.{CorpusConfig, CorpusGen}
+import graft.functions.{BloomSketch, UrlFunctions}
+import graft.model.{Document, Outcome}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine configuration for the BSP crawl loop. */
+final case class CrawlConfig(
+    corpus: CorpusConfig = CorpusConfig(),
+    perHostCap: Int = 5,        // reference prefetch_count default (main.rs:126-132)
+    saltBuckets: Int = 16,
+    filter: HostFilter = HostFilter.NoFilter,
+    useRobots: Boolean = true,
+    requeueRejects: Boolean = false, // reference OBSERVED behaviour: requeue=false (rmqredis.rs:243-249 bug; SURVEY §7.4)
+    maxRetries: Int = 3,
+    bloomExpectedItems: Long = 1L << 20,
+    bloomFpp: Double = 0.01,
+    useBloomPrefilter: Boolean = true
+)
+
+/** Output of one BSP generation (SURVEY.md §3.4). All DataFrames are lazy. */
+final case class StepResult(
+    /** Task rows for gen+1: newly discovered ∪ politeness-deferred ∪ requeued rejects. */
+    nextFrontier: DataFrame,
+    /** Newly discovered canonical URLs (⊆ nextFrontier) — the seen-set delta. */
+    discovered: DataFrame,
+    /** (gen, url, outcome, error_kind) for every fetch attempted this gen. */
+    outcomes: DataFrame
+)
+
+/**
+ * One generation of the BSP frontier pipeline — the declarative re-expression
+ * of the reference's task-resolution loop (worker/src/worker.rs:58-172):
+ *
+ *   frontier(g) ─ politeness top-k per host (O1)
+ *     ─ fetch = equi-join against the corpus table (S5; the HTTP `mapPartitions`
+ *       fetcher is the production path, `HttpFetcher`)
+ *     ─ explode link spans + resolve + scheme filter (P1-P3)
+ *     ─ canonicalize (P4-P6) + per-gen dedup (P7)
+ *     ─ white/blacklist (F2/F3) + robots (north_rule)
+ *     ─ bloom-prefiltered LEFT ANTI join vs `seen` (J1)
+ *     ─ outcome routing (O2): ok / err / reject
+ *
+ * Everything before the two shuffles (per-host window; anti-join on url) is
+ * narrow and stays inside whole-stage codegen except the four pure URL UDFs.
+ */
+object FrontierStep {
+
+  import graft.model.Span
+
+  /** Canonical seed tasks at gen 0 (deterministic priority from url hash). */
+  def seedFrontier(spark: SparkSession, urls: Seq[String]): DataFrame = {
+    import spark.implicits._
+    urls.flatMap(graft.core.UrlCanon.canonicalize)
+      .distinct
+      .map(u => (u, graft.core.UrlCanon.hostOf(u), 0, 0L, 0, 0))
+      .toDF("url", "host", "priority", "next_fetch", "retry_count", "gen")
+  }
+
+  def step(
+      spark: SparkSession,
+      frontier: DataFrame,       // Task schema, all rows at generation g
+      seen: DataFrame,           // single column `url`
+      seenBloom: Option[BloomSketch],
+      docs: Dataset[Document],
+      cfg: CrawlConfig,
+      gen: Int): StepResult = {
+    import spark.implicits._
+
+    // --- O1: politeness priority-queue cap, skew-salted -----------------------
+    val marked = Politeness.markTopKPerHost(frontier, cfg.perHostCap, cfg.saltBuckets)
+      .persist()
+    val fetchable = marked.filter(col("selected")).drop("selected")
+    val deferred = marked.filter(!col("selected")).drop("selected")
+
+    // --- S5: fetch = join against the corpus ("the mock internet") -----------
+    // Broadcast never applies here at scale (corpus = the web); shuffle hash
+    // join on url. Missing page ⇒ classify 404 (Err) vs unreachable (Reject)
+    // with the pure resolver (reference error mapping errors.rs:89-183).
+    val corpusCfg = cfg.corpus
+    val classify = udf((url: String) => CorpusGen.resolvePage(corpusCfg, url) match {
+      case CorpusGen.PageLookup.Found(_, _) => Outcome.Ok
+      case CorpusGen.PageLookup.NotFound    => Outcome.Err
+      case CorpusGen.PageLookup.Unreachable => Outcome.Reject
+    })
+    val fetched = fetchable
+      .join(docs.toDF("doc_id", "spans"), fetchable("url") === col("doc_id"), "left")
+      .withColumn("outcome",
+        when(col("doc_id").isNotNull, Outcome.Ok).otherwise(classify(col("url"))))
+      .withColumn("error_kind",
+        when(col("outcome") === Outcome.Ok, lit(""))
+          .when(col("outcome") === Outcome.Err, lit("InvalidPage"))
+          .otherwise(lit("NetworkError")))
+      .persist()
+
+    val outcomes = fetched.select(lit(gen).as("gen"), col("url"),
+      col("outcome"), col("error_kind"))
+
+    // --- P1-P6: link spans → resolved, canonical, hosted candidates ----------
+    val links = fetched
+      .filter(col("outcome") === Outcome.Ok)
+      .select(col("url").as("base_url"),
+        explode(filter(col("spans"), s => s.getField("kind") === Span.Link)).as("span"))
+      .select(col("base_url"), col("span.media_ref").as("href"))
+      .withColumn("resolved", UrlFunctions.resolveHref(col("base_url"), col("href")))
+      .filter(col("resolved").isNotNull)
+      .withColumn("url", UrlFunctions.canonicalizeUrl(col("resolved")))
+      .filter(col("url").isNotNull)
+      .withColumn("host", UrlFunctions.urlHost(col("url")))
+      .filter(col("host").isNotNull)
+      .select("url", "host")
+
+    // --- P7: per-generation dedup (map-side partial via AQE + shuffle) -------
+    val candidates = links.dropDuplicates("url")
+
+    // --- F2/F3 + robots -------------------------------------------------------
+    val hostFilter = cfg.filter
+    val keepHost = udf((h: String) => hostFilter.keep(if (h == null) "" else h))
+    val robotsMap: Map[String, Seq[String]] =
+      if (cfg.useRobots) CorpusGen.robotsTable(corpusCfg).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      else Map.empty
+    val robotsBc = spark.sparkContext.broadcast(robotsMap)
+    val robotsOk = udf((host: String, url: String) =>
+      graft.core.Robots.allowed(robotsBc.value.getOrElse(host, Nil), url))
+    val allowed = candidates
+      .filter(keepHost(col("host")))
+      .filter(!lit(cfg.useRobots) || robotsOk(col("host"), col("url")))
+
+    // --- J1: cull_known — bloom-prefiltered exact anti-join -------------------
+    // "maybe seen" rows take the exact LEFT ANTI join; "definitely new" rows
+    // skip it (a bloom FP costs a probe, never a URL — SURVEY §7.3).
+    val discoveredUrls = seenBloom match {
+      case Some(sketch) if cfg.useBloomPrefilter =>
+        val bc = spark.sparkContext.broadcast(sketch.serialize())
+        // deserialize once per executor (lazy val in the closure), not per row
+        val lazyContain = udf(new SerializableContains(bc.value))
+        val tagged = allowed.withColumn("_maybe", lazyContain(col("url"))).persist()
+        val definitelyNew = tagged.filter(!col("_maybe")).drop("_maybe")
+        val maybeSeen = tagged.filter(col("_maybe")).drop("_maybe")
+        definitelyNew.unionByName(
+          maybeSeen.join(seen, Seq("url"), "left_anti"))
+      case _ =>
+        allowed.join(seen, Seq("url"), "left_anti")
+    }
+
+    val discovered = discoveredUrls.select("url", "host").persist()
+
+    // --- O2: outcome routing — requeue rejects (documented semantics, flagged)
+    val rejects =
+      if (cfg.requeueRejects)
+        fetched.filter(col("outcome") === Outcome.Reject && col("retry_count") < cfg.maxRetries)
+          .select(col("url"), col("host"), col("priority"),
+            col("next_fetch"), (col("retry_count") + 1).as("retry_count"),
+            lit(gen + 1).as("gen"))
+      else spark.emptyDataFrame
+
+    // priority via the engine's own pure hash so the sequential golden oracle
+    // (plain Scala, no Spark) computes byte-identical values
+    val prioUdf = udf((u: String) => FrontierStep.priorityOf(u))
+    val newTasks = discovered.select(
+      col("url"), col("host"),
+      prioUdf(col("url")).as("priority"),
+      lit(0L).as("next_fetch"), lit(0).as("retry_count"), lit(gen + 1).as("gen"))
+
+    val carried = deferred.select(col("url"), col("host"), col("priority"),
+      col("next_fetch"), col("retry_count"), col("gen"))
+
+    val nextFrontier =
+      if (cfg.requeueRejects) newTasks.unionByName(carried).unionByName(rejects)
+      else newTasks.unionByName(carried)
+
+    StepResult(nextFrontier, discovered, outcomes)
+  }
+
+  /** Deterministic task priority ∈ [0,10) — pure, shared with the oracle. */
+  def priorityOf(url: String): Int =
+    Math.floorMod(BloomSketch.hash(url, 0x70726fL), 10L).toInt
+
+  /** Deserialize-once bloom probe (per executor, not per row). */
+  private final class SerializableContains(bytes: Array[Byte])
+      extends (String => Boolean) with Serializable {
+    @transient private lazy val sketch = BloomSketch.deserialize(bytes)
+    override def apply(u: String): Boolean = sketch.mightContain(u)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.plans
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Snapshot-directory table layer (SURVEY.md §7.5). The sandbox ships no
+ * Iceberg/Delta jar, so ACID generation commits are emulated with an atomic
+ * per-generation manifest: data is written to `<table>/gen=K/`, then
+ * `_commits/gen_K.json` is created via write-temp + atomic rename. A
+ * generation EXISTS iff its manifest exists; readers only ever list
+ * manifests, so a crashed half-written generation is invisible and resume
+ * is safe from any checkpoint (north_rule resumability).
+ *
+ * The `seen` table is APPEND-ONLY per-generation deltas — never rewritten
+ * (at 10^10 URLs a rewrite per generation would be the scale killer); the
+ * anti-join reads the union of deltas, each delta disjoint by construction
+ * (discovered rows passed the anti-join against all prior deltas).
+ *
+ * Swap-in for a real cluster: Iceberg `MERGE INTO seen` + snapshot commit —
+ * same seam, one class.
+ */
+final class TableIO(val root: String) {
+  private def p(parts: String*): Path = Paths.get(root, parts: _*)
+  Files.createDirectories(p("_commits"))
+
+  def genDir(table: String, gen: Int): String = p(table, f"gen=$gen%05d").toString
+
+  private def manifest(gen: Int): Path = p("_commits", f"gen_$gen%05d.json")
+
+  /** Atomically publish generation `gen` with its lineage/metrics payload. */
+  def commit(gen: Int, payloadJson: String): Unit = {
+    val tmp = p("_commits", f"_tmp_gen_$gen%05d.json")
+    Files.writeString(tmp, payloadJson)
+    Files.move(tmp, manifest(gen), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def committedGens(): Seq[Int] =
+    if (!Files.isDirectory(p("_commits"))) Nil
+    else Files.list(p("_commits")).iterator.asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("gen_") && s.endsWith(".json") =>
+        s.stripPrefix("gen_").stripSuffix(".json").toInt }
+      .toSeq.sorted
+
+  def lastCommittedGen(): Option[Int] = committedGens().lastOption
+
+  def readManifest(gen: Int): String = Files.readString(manifest(gen))
+
+  /** All committed delta dirs of an append-only table (e.g. `seen`). */
+  def deltaDirs(table: String, upToGen: Int): Seq[String] =
+    committedGens().filter(_ <= upToGen).map(genDir(table, _))
+      .filter(d => Files.isDirectory(Paths.get(d)))
+
+  def bloomPath(gen: Int): Path = p("bloom", f"gen_$gen%05d.bin")
+
+  def writeBloom(gen: Int, bytes: Array[Byte]): Unit = {
+    Files.createDirectories(p("bloom"))
+    val tmp = p("bloom", f"_tmp_$gen%05d.bin")
+    Files.write(tmp, bytes)
+    Files.move(tmp, bloomPath(gen), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readBloom(gen: Int): Option[Array[Byte]] = {
+    val f = bloomPath(gen)
+    if (Files.exists(f)) Some(Files.readAllBytes(f)) else None
+  }
+}

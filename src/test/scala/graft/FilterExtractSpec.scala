@@ -1,0 +1,80 @@
+package graft
+
+import graft.core.{Extract, HostFilter, Robots, RobotsRules}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FIXTURES.md §2 (worker/src/filter/filter.rs:132-260) and §3
+ * (worker/src/extractor/html.rs:93-172). */
+class FilterExtractSpec extends AnyFunSuite {
+
+  private val list = Seq("reddit.com", "bbc.co.uk", "dr.dk") // filter.rs:142-145
+  private val white = HostFilter.Whitelist(list)
+  private val black = HostFilter.Blacklist(list)
+
+  test("whitelist keeps listed hosts (filter.rs:149-157,171-186)") {
+    assert(white.keep("reddit.com"))
+    assert(white.keep("bbc.co.uk"))
+    assert(white.keep("www.reddit.com")) // substring-contains semantics
+  }
+  test("whitelist drops unlisted + host-less (filter.rs:159-169,77-86)") {
+    assert(!white.keep("tv2.dk"))
+    assert(!white.keep("okboomer.dk"))
+    assert(!white.keep("")) // host-less URLs always dropped
+  }
+  test("blacklist drops listed, keeps others (filter.rs:188-228)") {
+    assert(!black.keep("reddit.com"))
+    assert(black.keep("tv2.dk"))
+    assert(black.keep("okboomer.dk"))
+  }
+  test("NoFilter keeps everything (filter.rs:230-259)") {
+    Seq("reddit.com", "tv2.dk", "").foreach(h => assert(HostFilter.NoFilter.keep(h)))
+  }
+  test("list parsing trims lines (filter.rs:93-105)") {
+    assert(HostFilter.parseList(Seq(" reddit.com ", "", "dr.dk\t")) ==
+      Seq("reddit.com", "dr.dk"))
+  }
+
+  test("href-less anchors ignored (html.rs:97-120)") {
+    val html = """<a>one</a><a href="http://example.com/">two</a>"""
+    assert(Extract.linksFromHtml("http://ref.ref", html.getBytes("UTF-8")) ==
+      Seq("http://example.com/"))
+  }
+  test("relative href resolved against base (html.rs:122-144)") {
+    val html = """<a href="/test">rel</a>"""
+    assert(Extract.linksFromHtml("http://ref.ref", html.getBytes("UTF-8")) ==
+      Seq("http://ref.ref/test"))
+  }
+  test("non-http(s) schemes dropped (html.rs:147-171)") {
+    val html = """<a href="mailto:example.com/">m</a><a href="urn:example.com/">u</a>"""
+    assert(Extract.linksFromHtml("http://ref.ref", html.getBytes("UTF-8")).isEmpty)
+  }
+  test("single-quoted and unquoted hrefs parsed") {
+    val html = """<a href='http://a.com/x'>1</a><a href=http://b.com/y>2</a>"""
+    assert(Extract.linksFromHtml("http://ref.ref", html.getBytes("UTF-8")) ==
+      Seq("http://a.com/x", "http://b.com/y"))
+  }
+
+  test("robots: longest-prefix disallow; allow overrides; empty=allow all") {
+    val r = RobotsRules.parse(
+      """User-agent: *
+        |Disallow: /private
+        |Allow: /private/ok
+        |
+        |User-agent: evilbot
+        |Disallow: /
+        |""".stripMargin)
+    assert(r.isAllowed("/public/x"))
+    assert(!r.isAllowed("/private/secret"))
+    assert(r.isAllowed("/private/ok/file"))
+    assert(RobotsRules.allowAll.isAllowed("/anything"))
+    // the evilbot group must not leak into *
+    assert(r.isAllowed("/"))
+  }
+  test("robots prefix helper matches UDF semantics") {
+    assert(Robots.pathOf("http://h1.example/x7") == "/x7")
+    assert(Robots.pathOf("http://h1.example") == "")
+    assert(!Robots.allowed(Seq("/x"), "http://h1.example/x7"))
+    assert(Robots.allowed(Seq("/x"), "http://h1.example/p7"))
+    assert(Robots.allowed(Nil, "http://h1.example/x7"))
+  }
+}

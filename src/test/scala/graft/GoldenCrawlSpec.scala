@@ -1,0 +1,103 @@
+package graft
+
+import graft.corpus.{CorpusConfig, CorpusGen}
+import graft.loop.CrawlLoop
+import graft.operators.CrawlConfig
+import graft.oracle.SeqCrawler
+import graft.plans.TableIO
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Golden E2E (SURVEY.md §5.4): the Spark BSP engine and the sequential
+ * reference-semantics oracle must produce (a) identical final seen-set,
+ * (b) identical (url → generation) map, (c) identical per-URL outcomes —
+ * the ordering-equivalence of SURVEY.md §7.6. Plus checkpoint resume. */
+class GoldenCrawlSpec extends AnyFunSuite {
+
+  private def runBoth(cfg: CrawlConfig, seeds: Seq[String], maxGens: Int) = {
+    val spark = SparkSuite.spark
+    val dir = Files.createTempDirectory("graft-golden").toString
+    val io = new TableIO(dir)
+    CrawlLoop.run(spark, io, seeds, cfg, maxGens)
+    val engineGen = CrawlLoop.seenWithGen(spark, io).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val engineOutcomes = CrawlLoop.allOutcomes(spark, io).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    val oracle = SeqCrawler.crawl(cfg, seeds, maxGens)
+    (engineGen, engineOutcomes, oracle)
+  }
+
+  test("golden crawl: seen-set, generation map, and outcomes match the oracle") {
+    val cfg = CrawlConfig(corpus = CorpusConfig(seed = 42L, numHosts = 15, maxPages = 30),
+      perHostCap = 3)
+    val seeds = CorpusGen.seeds(cfg.corpus, 3)
+    val (engineGen, engineOutcomes, oracle) = runBoth(cfg, seeds, maxGens = 30)
+
+    assert(engineGen.keySet == oracle.seenGen.keySet, {
+      val extra = engineGen.keySet -- oracle.seenGen.keySet
+      val missing = oracle.seenGen.keySet -- engineGen.keySet
+      s"seen-set mismatch: engine-extra=${extra.take(5)} engine-missing=${missing.take(5)}"
+    })
+    val genMismatches = oracle.seenGen.collect {
+      case (u, g) if engineGen(u) != g => (u, g, engineGen(u))
+    }
+    assert(genMismatches.isEmpty, s"generation mismatches: ${genMismatches.take(10)}")
+    assert(engineOutcomes == oracle.outcomes.toSet, {
+      val eo = engineOutcomes -- oracle.outcomes.toSet
+      val oe = oracle.outcomes.toSet -- engineOutcomes
+      s"outcome mismatch: engine-only=${eo.take(5)} oracle-only=${oe.take(5)}"
+    })
+    // sanity: the crawl actually crawled several generations and outcomes vary
+    assert(engineGen.values.max >= 3)
+    assert(engineOutcomes.map(_._3).intersect(Set("ok", "err", "reject")).size == 3)
+  }
+
+  test("golden crawl with whitelist filter + reject requeue matches oracle") {
+    val cfg = CrawlConfig(
+      corpus = CorpusConfig(seed = 7L, numHosts = 10, maxPages = 20),
+      perHostCap = 2,
+      filter = graft.core.HostFilter.Blacklist(Seq("h3.", "h5.")),
+      requeueRejects = true, maxRetries = 2)
+    val seeds = CorpusGen.seeds(cfg.corpus, 2)
+    val (engineGen, engineOutcomes, oracle) = runBoth(cfg, seeds, maxGens = 25)
+    assert(engineGen == oracle.seenGen)
+    assert(engineOutcomes == oracle.outcomes.toSet)
+    // the blacklist actually bit: no h3/h5 URLs in the seen set
+    assert(!engineGen.keySet.exists(u => u.contains("//h3.") || u.contains("//h5.")))
+  }
+
+  test("robots rules are enforced (no /x pages on robots-gated hosts)") {
+    val cfg = CrawlConfig(corpus = CorpusConfig(seed = 42L, numHosts = 15, maxPages = 30))
+    val seeds = CorpusGen.seeds(cfg.corpus, 3)
+    val (engineGen, _, oracle) = runBoth(cfg, seeds, maxGens = 20)
+    assert(engineGen == oracle.seenGen)
+    val gated = engineGen.keySet.filter { u =>
+      val host = graft.core.UrlCanon.hostOf(u)
+      CorpusGen.robotsTable(cfg.corpus).exists(_._1 == host) &&
+        graft.core.Robots.pathOf(u).startsWith("/x")
+    }
+    assert(gated.isEmpty, s"robots-disallowed URLs crawled: ${gated.take(5)}")
+  }
+
+  test("resume from checkpoint is byte-identical to an uninterrupted run") {
+    val spark = SparkSuite.spark
+    val cfg = CrawlConfig(corpus = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24),
+      perHostCap = 3)
+    val seeds = CorpusGen.seeds(cfg.corpus, 2)
+
+    val fullDir = Files.createTempDirectory("graft-full").toString
+    CrawlLoop.run(spark, new TableIO(fullDir), seeds, cfg, maxGens = 20)
+
+    val resDir = Files.createTempDirectory("graft-resumed").toString
+    CrawlLoop.run(spark, new TableIO(resDir), seeds, cfg, maxGens = 3) // "crash" after gen 3
+    CrawlLoop.run(spark, new TableIO(resDir), seeds, cfg, maxGens = 20) // resume
+
+    def state(dir: String) = {
+      val io = new TableIO(dir)
+      (CrawlLoop.seenWithGen(spark, io).collect().map(r => (r.getString(0), r.getInt(1))).toSet,
+        CrawlLoop.allOutcomes(spark, io).collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))).toSet)
+    }
+    assert(state(fullDir) == state(resDir))
+  }
+}
