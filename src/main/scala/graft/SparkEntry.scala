@@ -1,13 +1,306 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.corpus.{CorpusConfig, CorpusGen, CorpusTables}
+import graft.functions.UrlFunctions
+import graft.operators.{CrawlConfig, Dedup, FrontierStep, Multimodal, Politeness, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract: the operator catalogue (SURVEY.md §2 + training-data
+ * pipeline ops), one query per operator, with a DuckDB-oracle SQL where the
+ * operator is ANSI-SQL-expressible. Column names are aligned between the
+ * Spark result and the oracle SQL (the driver hash-compares by sorted
+ * column name).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Tiny fixed corpus for the crawl-operator queries (independent of sf). */
+  private val demoCrawlCfg =
+    CrawlConfig(corpus = CorpusConfig(seed = 42L, numHosts = 15, maxPages = 30))
+
+  /** Flagship: one full BSP frontier generation on the synthetic corpus —
+   * politeness cap, fetch join, span explode, canonicalize, robots,
+   * bloom-prefiltered anti-join — returning gen-1 discovered URLs. */
+  def entry(spark: SparkSession): DataFrame = {
+    val cfg = demoCrawlCfg
+    val docs = CorpusTables.documents(spark, cfg.corpus)
+    val frontier = FrontierStep.seedFrontier(spark, CorpusGen.seeds(cfg.corpus, 3))
+    val seen = frontier.select("url")
+    val res = FrontierStep.step(spark, frontier, seen, None, docs, cfg, gen = 0)
+    res.discovered.orderBy("url")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- A1: aggregation accounting (groupBy/agg) ---------------------------
+    "q01_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // --- O1: politeness priority-queue = per-key ranked window top-k --------
+    "q02_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    }),
+    // --- J1: cull_known anti-join --------------------------------------------
+    "q03_anti_join" -> ((s, dir) => {
+      t(s, dir, "orders").join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_totalprice")
+    }),
+    // --- semi-join (EXISTS — seen-membership dual of J1) ---------------------
+    "q04_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer").join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    }),
+    // --- P7: distinct ---------------------------------------------------------
+    "q05_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+    // --- F2/F3: substring-contains host filters -------------------------------
+    "q06_filter_whitelist" -> ((s, dir) => {
+      val whitelist = Seq("src1", "src3") // substring-contains semantics (filter.rs:74-88)
+      t(s, dir, "documents")
+        .filter(whitelist.map(w => col("source").contains(w)).reduce(_ || _))
+        .select("doc_id", "source")
+    }),
+    "q07_filter_blacklist" -> ((s, dir) => {
+      val blacklist = Seq("src1", "src3")
+      t(s, dir, "documents")
+        .filter(!blacklist.map(b => col("source").contains(b)).reduce(_ || _))
+        .select("doc_id", "source")
+    }),
+    // --- P1: explode (link/token fan-out: one row in → N out) -----------------
+    "q08_explode_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)
+    }),
+    // --- P4-P6: URL canonicalization ------------------------------------------
+    "q09_canonicalize" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("messy", concat(lit("HTTP://"), upper(col("source")),
+          lit(".EXAMPLE:80/p"), (col("doc_id") % 7).cast("string"),
+          lit("?b=2&a=1#frag")))
+        .select(UrlFunctions.canonicalizeUrl(col("messy")).as("url"))
+        .groupBy("url").agg(count(lit(1)).as("n"))
+    }),
+    // --- P2: relative URL resolution -------------------------------------------
+    "q10_url_resolve" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("base", concat(lit("http://"), col("source"),
+          lit(".example/dir/page.html")))
+        .withColumn("href", concat(lit("../x"), (col("doc_id") % 5).cast("string"),
+          lit(".html")))
+        .select(col("doc_id"),
+          UrlFunctions.resolveHref(col("base"), col("href")).as("resolved"))
+    }),
+    // --- dedup: exact (hash-groupBy) -------------------------------------------
+    "q11_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents")).orderBy("doc_id")),
+    // --- text analysis: token counting ------------------------------------------
+    "q12_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          length(col("text")).as("text_chars"))
+    }),
+    // --- text analysis: stopword-ratio quality signal ----------------------------
+    "q13_stopword_ratio" -> ((s, dir) => {
+      val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+      val toks = split(col("text"), " ")
+      val stopArr = array(stops.map(lit): _*)
+      t(s, dir, "documents").select(col("doc_id"),
+        round(
+          size(filter(toks, x => array_contains(stopArr, x))).cast("double") /
+            size(toks).cast("double"), 6).as("stop_ratio"))
+    }),
+    // --- union + distinct (S2/J2 set semantics) -----------------------------------
+    "q14_union_distinct" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+    }),
+    // --- multi-join + broadcast dim + agg (frontier⋈corpus shape at SQL level) ----
+    "q15_join_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy("n_name")
+    }),
+    // --- A1 deltas: lag window ------------------------------------------------------
+    "q16_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+    }),
+    // --- similarity: exact brute-force cosine top-1 (raw double math so the
+    // DuckDB DOUBLE[] oracle is bit-identical; the unit-norm fast path is
+    // exercised by q22/q23 and SimilaritySpec) --------------------------------
+    "q17_cosine_top1" -> ((s, dir) => {
+      val cos = udf((a: Seq[Float], b: Seq[Float]) =>
+        graft.functions.TextFunctions.cosine(a.toArray, b.toArray))
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id"), col("embedding").as("q_emb"))
+      val c = e.select(col("vec_id").as("neighbour_id"), col("embedding").as("c_emb"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cosine").desc, col("neighbour_id").asc)
+      q.join(c, col("vec_id") =!= col("neighbour_id"))
+        .withColumn("cosine", cos(col("q_emb"), col("c_emb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .select(col("vec_id"), col("neighbour_id"), round(col("cosine"), 4).as("cosine_r"))
+    }),
+    // --- dedup: minhash-LSH near-dup pairs (no SQL oracle: sketch-based) ---------------
+    "q18_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.4, shingleN = 2)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard_r"))
+        .orderBy("doc_a", "doc_b")),
+    // --- dedup: simhash fingerprints -----------------------------------------------------
+    "q19_simhash" -> ((s, dir) => {
+      val sim = udf((t: String) => graft.functions.TextFunctions.simhash(t))
+      t(s, dir, "documents").select(col("doc_id"), sim(col("text")).as("simhash"))
+    }),
+    // --- text analysis: language-ID heuristic ---------------------------------------------
+    "q20_lang_id" -> ((s, dir) => {
+      val lid = udf((t: String) => graft.functions.TextFunctions.langId(t)._1)
+      t(s, dir, "documents").select(col("doc_id"), lid(col("text")).as("pred_lang"))
+    }),
+    // --- text analysis: quality score -------------------------------------------------------
+    "q21_quality_score" -> ((s, dir) => {
+      val q = udf((t: String) => graft.functions.TextFunctions.qualityScore(t))
+      t(s, dir, "documents").select(col("doc_id"), round(q(col("text")), 6).as("quality"))
+    }),
+    // --- similarity: LSH-bucketed ANN (scale path; recall vs q17 tested in specs) ------------
+    "q22_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), k = 5, bits = 8, tables = 4)
+        .groupBy("vec_id").agg(count(lit(1)).as("n_neighbours"))),
+    // --- similarity: IVF ANN (scale path) ------------------------------------------------------
+    "q23_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), k = 5, nLists = 8, nProbe = 3)
+        .groupBy("vec_id").agg(count(lit(1)).as("n_neighbours"))),
+    // --- crawl: one BSP generation end-to-end (golden-tested vs oracle) -------------------------
+    "q24_crawl_gen1" -> ((s, _) => entry(s)),
+    // --- multimodal: media blob metadata plumbing -------------------------------------------------
+    "q25_media_meta" -> ((s, _) => {
+      val docs = CorpusTables.documents(s, demoCrawlCfg.corpus).toDF()
+      Multimodal.mediaMeta(Multimodal.mediaBlobs(s, docs)).orderBy("doc_id", "media_ref")
+    }),
+    // --- multimodal: batched feature extraction (stubbed decoder, real plumbing) -----------------
+    "q26_media_features" -> ((s, _) => {
+      val docs = CorpusTables.documents(s, demoCrawlCfg.corpus).toDF()
+      Multimodal.extractFeatures(Multimodal.mediaBlobs(s, docs))
+        .toDF().select("doc_id", "media_ref", "n_bytes", "width", "height")
+        .orderBy("doc_id", "media_ref")
+    }),
+    // --- O1 politeness operator in isolation ------------------------------------------------------
+    "q27_politeness_cap" -> ((s, dir) => {
+      val tasks = t(s, dir, "events").select(
+        concat(lit("http://h"), (col("user_id") % 50).cast("string"),
+          lit(".example/e"), col("event_id").cast("string")).as("url"),
+        concat(lit("h"), (col("user_id") % 50).cast("string"), lit(".example")).as("host"),
+        (col("event_id") % 10).cast("int").as("priority"),
+        col("event_id").as("next_fetch"))
+      Politeness.markTopKPerHost(tasks, k = 5)
+        .filter(col("selected")).select("url", "host", "priority")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | count(*) AS cnt, min(l_extendedprice) AS min_price,
+        | max(l_extendedprice) AS max_price
+        | FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_window_topk" ->
+      """SELECT user_id, event_id, value, rn FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin,
+    "q03_anti_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        | WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q05_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q06_filter_whitelist" ->
+      """SELECT doc_id, source FROM documents
+        | WHERE source LIKE '%src1%' OR source LIKE '%src3%'""".stripMargin,
+    "q07_filter_blacklist" ->
+      """SELECT doc_id, source FROM documents
+        | WHERE NOT (source LIKE '%src1%' OR source LIKE '%src3%')""".stripMargin,
+    "q08_explode_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        | GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "q09_canonicalize" ->
+      """SELECT 'http://' || lower(source) || '.example/p' ||
+        |   CAST(doc_id % 7 AS VARCHAR) || '?a=1&b=2' AS url, count(*) AS n
+        | FROM documents GROUP BY 1""".stripMargin,
+    "q10_url_resolve" ->
+      """SELECT doc_id, 'http://' || source || '.example/x' ||
+        |   CAST(doc_id % 5 AS VARCHAR) || '.html' AS resolved
+        | FROM documents""".stripMargin,
+    "q11_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
+        |   count(*) - 1 AS dups
+        | FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "q12_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+        |   length(text) AS text_chars FROM documents""".stripMargin,
+    "q13_stopword_ratio" ->
+      """SELECT doc_id, round(
+        |   CAST(len(list_filter(string_split(text, ' '),
+        |     x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) /
+        |   CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stop_ratio
+        | FROM documents""".stripMargin,
+    "q14_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey AS nationkey FROM supplier)""".stripMargin,
+    "q15_join_agg" ->
+      """SELECT n_name, sum(l_quantity) AS sum_qty, count(*) AS cnt
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q16_window_lag" ->
+      """SELECT user_id, event_id,
+        |   value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS delta
+        | FROM events""".stripMargin,
+    "q17_cosine_top1" ->
+      """SELECT vec_id, neighbour_id, round(cosine, 4) AS cosine_r FROM (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbour_id,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+        |               b.vec_id ASC) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        |  WHERE a.vec_id < 50) WHERE rank = 1""".stripMargin
+    // q18-q27: sketch/UDF/crawl/multimodal operators — not ANSI-SQL-expressible;
+    // covered by ScalaTest golden/property suites (driver records rows-only checks)
+  )
 }

@@ -1,0 +1,135 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docsWithDups = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river"), // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy dog near the creek"), // near dup of 0
+      (3L, "spark shuffle partitions and bloom filters for frontier dedup"),
+      (4L, "spark shuffle partitions and bloom filters for frontier dedup"), // exact dup of 3
+      (5L, "completely different content about nothing in particular here")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min doc_id per content group with dup counts") {
+    val out = Dedup.exact(docsWithDups).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.keySet == Set(0L, 2L, 3L, 5L))
+    assert(out(0L) == 1L && out(3L) == 1L && out(2L) == 0L && out(5L) == 0L)
+  }
+
+  test("minhash pairs find near + exact dups, verified jaccard matches pure fn") {
+    val pairs = Dedup.minhashPairs(docsWithDups, threshold = 0.5, shingleN = 2,
+      numPerm = 64, bands = 32).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) == 1.0)
+    assert(pairs.contains((3L, 4L)) && pairs((3L, 4L)) == 1.0)
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near-dup caught
+    pairs.foreach { case ((a, b), j) =>
+      val ja = TextFunctions.jaccard(
+        TextFunctions.shingleHashes(textOf(a), 2), TextFunctions.shingleHashes(textOf(b), 2))
+      assert(math.abs(j - ja) < 1e-12)
+      assert(j >= 0.5)
+    }
+  }
+  private def textOf(id: Long): String =
+    docsWithDups.filter(col("doc_id") === id).collect()(0).getString(1)
+
+  test("minhashDedup drops the larger-id twin of each dup pair") {
+    val kept = Dedup.minhashDedup(docsWithDups, threshold = 0.9, shingleN = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(1L) && !kept.contains(4L))
+    assert(kept.contains(0L) && kept.contains(3L) && kept.contains(5L))
+  }
+
+  test("simhash pairs: finds ALL pairs with hamming<=3 (vs brute force)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val got = Dedup.simhashPairs(docs, maxHamming = 3, segments = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = docs.collect().map(r => r.getLong(0) -> TextFunctions.simhash(r.getString(1)))
+    val want = (for {
+      (ia, ha) <- sigs; (ib, hb) <- sigs
+      if ia < ib && TextFunctions.hammingDistance(ha, hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("IVF with nProbe == nLists is EXACTLY brute force (full probe = no approximation)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(120)
+    val bf = Similarity.bruteForceTopK(e, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(e, k = 3, nLists = 4, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(ivf == bf)
+  }
+
+  test("IVF partial probe: high recall vs brute force") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val bf = Similarity.bruteForceTopK(e, k = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.ivfTopK(e, k = 5, nLists = 8, nProbe = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = bf.keysIterator.map(q =>
+      (bf(q) intersect ivf.getOrElse(q, Set.empty)).size.toDouble / bf(q).size).sum / bf.size
+    assert(recall > 0.35, s"IVF recall=$recall") // nProbe/nLists = 1/2 of lists probed
+  }
+
+  test("LSH ANN: structural invariants + nonzero recall") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Similarity.lshTopK(e, k = 5, bits = 6, tables = 6).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1)) // no self-match
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 5)
+    }
+    val bf = Similarity.bruteForceTopK(e, k = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = out.map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = bf.keysIterator.map(q =>
+      (bf(q) intersect lsh.getOrElse(q, Set.empty)).size.toDouble / bf(q).size).sum / bf.size
+    assert(recall > 0.05, s"LSH recall=$recall")
+  }
+
+  test("cosinePairs: symmetric threshold pairs, a<b only") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f)),
+      (3L, Seq(0f, 1f, 0f)), (4L, Seq(1f, 0.01f, 0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairs(vecs, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a >= b })
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("multimodal: blob count matches media spans; features deterministic; schema real") {
+    val docs = graft.corpus.CorpusTables.documents(spark,
+      graft.corpus.CorpusConfig(seed = 42L, numHosts = 8, maxPages = 16)).toDF()
+    val blobs = Multimodal.mediaBlobs(spark, docs)
+    val nSpans = docs.select(explode(col("spans")).as("s"))
+      .filter(col("s.kind") === "media").count()
+    assert(blobs.count() == nSpans)
+    val f1 = Multimodal.extractFeatures(blobs).collect().sortBy(r => (r.doc_id, r.media_ref))
+    val f2 = Multimodal.extractFeatures(blobs).collect().sortBy(r => (r.doc_id, r.media_ref))
+    assert(f1.map(_.sha).toSeq == f2.map(_.sha).toSeq)
+    assert(f1.forall(_.feature.length == 16))
+    assert(f1.forall(f => f.width >= 64 && f.height >= 64))
+    val meta = Multimodal.mediaMeta(blobs)
+    assert(meta.columns.toSeq ==
+      Seq("doc_id", "media_ref", "mime", "n_bytes", "content_md5"))
+  }
+}
