@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Throughput GC + modest heap measured fastest for this allocation-heavy
+  // pipeline (small eden stays cache-resident; see BENCH.md §GC):
+  "-XX:+UseParallelGC",
+) ++ sys.env.get("SPARK_GC_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

@@ -1,24 +1,126 @@
 package graft
+
+import graft.corpus.{CorpusConfig, CorpusGen}
+import graft.loop.CrawlLoop
+import graft.operators.CrawlConfig
+import graft.plans.TableIO
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark entry (driver contract): runs every catalogue query at
+ * SPARK_GRAFT_SF_DIR plus the headline crawl-throughput workload
+ * (BASELINE.json metric: "URLs fetched/sec + frontier dedup throughput"),
+ * printing ONE JSON line.
+ *
+ * Scaling protocol (BASELINE.md): run with SPARK_GRAFT_CPUS=8 and =32 on the
+ * same input; efficiency = (fetch_per_sec@32 / fetch_per_sec@8) / 4.
+ * Crawl workload size is fixed (independent of sf) so the two runs are
+ * strictly comparable.
+ */
+/** Distributed construction of a full-corpus frontier (bench steady state). */
+object BenchFrontier {
+  import org.apache.spark.sql.DataFrame
+  def allPages(spark: SparkSession, cfg: CorpusConfig): DataFrame = {
+    import spark.implicits._
+    val offsets = (0 until cfg.numHosts).map(h => CorpusGen.pageCount(cfg, h))
+      .scanLeft(0L)(_ + _).toArray
+    val total = offsets.last
+    val bc = spark.sparkContext.broadcast(offsets)
+    spark.range(0, total, 1, spark.sparkContext.defaultParallelism)
+      .map { gid =>
+        val offs = bc.value
+        var lo = 0; var hi = offs.length - 2
+        while (lo < hi) {
+          val mid = (lo + hi + 1) >>> 1
+          if (offs(mid) <= gid) lo = mid else hi = mid - 1
+        }
+        val url = CorpusGen.pageUrl(lo, (gid - offs(lo)).toInt)
+        (url, CorpusGen.hostName(lo), graft.operators.FrontierStep.priorityOf(url),
+          0L, 0, 0)
+      }
+      .toDF("url", "host", "priority", "next_fetch", "retry_count", "gen")
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // --- catalogue queries ----------------------------------------------------
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+
+    // --- headline crawl throughput, two workloads (both sf-independent) -------
+    // Generator fetch mode = the production mapPartitions-HTTP cost model
+    // (work ∝ fetched pages); corpus-join mode is covered by q24 + golden tests.
+
+    // (1) STEADY-STATE: one generation over a ~2M-task frontier — the shape
+    // every generation has at 10^10-URL scale, where per-generation fixed
+    // cost (task scheduling, commits) is amortised into the noise. This is
+    // the scaling-efficiency metric (north_rule N vs 4N protocol).
+    val ssCorpus = CorpusConfig(seed = 42L, numHosts = 1200000, maxPages = 400000)
+    val ssCfg = CrawlConfig(corpus = ssCorpus, perHostCap = 200,
+      bloomExpectedItems = 1L << 23,
+      fetchMode = graft.operators.FetchMode.Generator)
+    val megaFrontier = BenchFrontier.allPages(spark, ssCorpus)
+    // distributed seed-seen (a LIMIT would execute as one straggler task)
+    val seedSeen = megaFrontier.select(org.apache.spark.sql.functions.col("url"))
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(org.apache.spark.sql.functions.col("url")),
+        org.apache.spark.sql.functions.lit(2000)) === 0)
+    val ssDocs = graft.corpus.CorpusTables.documents(spark, ssCorpus) // lazy; unused in Generator mode
+    val t1 = System.nanoTime()
+    val step = graft.operators.FrontierStep.step(
+      spark, megaFrontier, seedSeen, None, ssDocs, ssCfg, gen = 0)
+    val ssFetched = step.outcomes.count()
+    val ssDiscovered = step.discovered.count()
+    val ssSec = (System.nanoTime() - t1) / 1e9
+    val ssFetchPerSec = ssFetched / math.max(ssSec, 1e-9)
+    spark.catalog.clearCache()
+
+    // (2) END-TO-END LOOP: 4 full BSP generations incl. checkpoint commits —
+    // reports the loop's fixed overhead honestly.
+    val workDir = java.nio.file.Files.createTempDirectory("graft-bench-crawl").toString
+    val cfg = CrawlConfig(
+      corpus = CorpusConfig(seed = 42L, numHosts = 20000, maxPages = 20000),
+      perHostCap = 50,
+      bloomExpectedItems = 1L << 20,
+      fetchMode = graft.operators.FetchMode.Generator)
+    val t0 = System.nanoTime()
+    val res = CrawlLoop.run(spark, new TableIO(workDir),
+      CorpusGen.seeds(cfg.corpus, 2000), cfg, maxGens = 4)
+    val crawlSec = (System.nanoTime() - t0) / 1e9
+    val fetched = res.stats.map(_.fetched).sum
+    val discovered = res.stats.map(_.discovered).sum
+    val fetchPerSec = fetched / math.max(crawlSec, 1e-9)
+    val dedupPerSec = discovered / math.max(crawlSec, 1e-9)
+
+    println(
+      s"""{"metric":"urls_fetched_per_sec","value":$ssFetchPerSec,"unit":"urls/sec",""" +
+      s""""queries":$qs,"queries_total_sec":$total,"sf":"$sfDir","cpus":$cpus,""" +
+      s""""steady_state":{"fetched":$ssFetched,"discovered":$ssDiscovered,""" +
+      s""""wall_sec":$ssSec,"urls_fetched_per_sec":$ssFetchPerSec,""" +
+      s""""frontier_dedup_per_sec":${ssDiscovered / math.max(ssSec, 1e-9)}},""" +
+      s""""loop":{"gens":${res.stats.size},"fetched":$fetched,""" +
+      s""""discovered":$discovered,"wall_sec":$crawlSec,""" +
+      s""""urls_fetched_per_sec":$fetchPerSec,""" +
+      s""""frontier_dedup_per_sec":$dedupPerSec}}""")
     spark.stop()
   }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
  * spark-submit entry for the BSP crawl (north_rule: "run via spark-submit
  * ... at two cluster sizes"). Local sandbox: parallelism via SPARK_GRAFT_CPUS.
  *
- * Usage: CrawlMain <workDir> [numHosts] [maxPages] [perHostCap] [maxGens] [seeds]
+ * Usage: CrawlMain <workDir> [numHosts] [maxPages] [perHostCap] [maxGens] [seeds] [join|gen]
  * Resumable: re-running with the same workDir continues from the last
  * committed generation.
  */
@@ -22,20 +22,27 @@ object CrawlMain {
     val perHostCap = if (args.length > 3) args(3).toInt else 5
     val maxGens = if (args.length > 4) args(4).toInt else 30
     val nSeeds = if (args.length > 5) args(5).toInt else 5
+    val fetchMode = if (args.length > 6 && args(6) == "gen")
+      graft.operators.FetchMode.Generator else graft.operators.FetchMode.CorpusJoin
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(sys.props.getOrElse("spark.master", s"local[$cpus]"))
       .appName("graft-crawl")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // extra confs for experiments: SPARK_GRAFT_CONF="k=v;k2=v2"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val cfg = CrawlConfig(corpus = CorpusConfig(numHosts = numHosts, maxPages = maxPages),
-      perHostCap = perHostCap)
+      perHostCap = perHostCap, fetchMode = fetchMode,
+      bloomExpectedItems = 1L << 22)
     val io = new TableIO(workDir)
     val t0 = System.nanoTime()
     val res = CrawlLoop.run(spark, io, CorpusGen.seeds(cfg.corpus, nSeeds), cfg, maxGens)

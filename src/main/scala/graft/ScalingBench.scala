@@ -1,0 +1,83 @@
+package graft
+
+import graft.corpus.{CorpusConfig, CorpusGen}
+import graft.operators.{CrawlConfig, FrontierStep}
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+
+/**
+ * Scaling-evidence harness (BASELINE.md protocol): runs ONE steady-state BSP
+ * generation over a ~3M-selected-task frontier at the parallelism given by
+ * SPARK_GRAFT_CPUS, printing a single JSON line. Run at two core counts
+ * (N and 4N, e.g. 2/8 or 8/32) on this SAME fixed input; efficiency =
+ * (throughput@4N / throughput@N) / 4. Results + analysis in BENCH.md.
+ *
+ * `pure` mode (first arg "pure") instead measures the raw fetch+extract+
+ * canonicalize hot path on plain threads (no Spark) — the per-core compute
+ * ceiling of this machine.
+ */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("pure")) { purePath(); return }
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ssCorpus = CorpusConfig(seed = 42L, numHosts = 1200000, maxPages = 400000)
+    val ssCfg = CrawlConfig(corpus = ssCorpus, perHostCap = 200,
+      bloomExpectedItems = 1L << 23, fetchMode = graft.operators.FetchMode.Generator)
+    val megaFrontier = BenchFrontier.allPages(spark, ssCorpus)
+    // distributed seed-seen (a LIMIT would execute as one straggler task)
+    val seedSeen = megaFrontier.select(col("url"))
+      .filter(pmod(xxhash64(col("url")), lit(2000)) === 0)
+    val ssDocs = graft.corpus.CorpusTables.documents(spark, ssCorpus) // lazy; unused in Generator mode
+
+    val t0 = System.nanoTime()
+    val step = FrontierStep.step(spark, megaFrontier, seedSeen, None, ssDocs, ssCfg, 0)
+    val fetched = step.outcomes.count()
+    val discovered = step.discovered.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(s"""{"bench":"steady_state_generation","cpus":$cpus,""" +
+      s""""fetched":$fetched,"discovered":$discovered,"wall_sec":$sec,""" +
+      s""""urls_fetched_per_sec":${fetched / sec},""" +
+      s""""frontier_dedup_per_sec":${discovered / sec}}""")
+    spark.stop()
+  }
+
+  /** Pure-thread hot path (no Spark): the machine's per-core compute ceiling. */
+  private def purePath(): Unit = {
+    val cfg = CorpusConfig(seed = 42L, numHosts = 400000, maxPages = 150000)
+    def work(tid: Int, iters: Int): Long = {
+      var acc = 0L
+      var i = 0
+      while (i < iters) {
+        val h = (tid * 31 + i) % cfg.numHosts
+        val p = i % math.max(1, CorpusGen.pageCount(cfg, h))
+        val base = CorpusGen.pageUrl(h, p)
+        CorpusGen.pageHrefs(cfg, h, p).foreach { href =>
+          graft.core.UrlCanon.resolveCanonHost(base, href)
+            .foreach { case (u, ho) => acc += u.length + ho.length }
+        }
+        i += 1
+      }
+      acc
+    }
+    work(99, 20000) // JIT warmup
+    val out = Seq.newBuilder[String]
+    for (n <- Seq(1, 2, 8, 32)) {
+      val per = 480000 / n
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { t =>
+        val th = new Thread(() => { work(t, per); () }); th.start(); th
+      }
+      threads.foreach(_.join())
+      val sec = (System.nanoTime() - t0) / 1e9
+      out += s"""{"threads":$n,"pages":${per * n},"pages_per_sec":${(per * n / sec).toLong}}"""
+    }
+    println(out.result().mkString("[", ",", "]"))
+  }
+}

@@ -214,6 +214,20 @@ object SparkEntry {
         .toDF().select("doc_id", "media_ref", "n_bytes", "width", "height")
         .orderBy("doc_id", "media_ref")
     }),
+    // --- S4: task serde — binary payload → UTF-8 decode → URL parse; invalid ⇒ dropped -------------
+    "q28_task_serde" -> ((s, dir) => {
+      val wire = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        encode(
+          when(col("event_id") % 7 === 0,
+            concat(lit("not a url "), col("event_id").cast("string")))
+          .otherwise(concat(lit("HTTP://H"), (col("user_id") % 40).cast("string"),
+            lit(".EXAMPLE:80/e"), col("event_id").cast("string"))), "UTF-8").as("payload"))
+      wire
+        .withColumn("task_url",
+          UrlFunctions.canonicalizeUrl(col("payload").cast("string")))
+        .filter(col("task_url").isNotNull) // Err ⇒ drop (rmqredis.rs:225-229)
+        .select("event_id", "task_url")
+    }),
     // --- O1 politeness operator in isolation ------------------------------------------------------
     "q27_politeness_cap" -> ((s, dir) => {
       val tasks = t(s, dir, "events").select(
@@ -299,7 +313,11 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
         |               b.vec_id ASC) AS rank
         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
-        |  WHERE a.vec_id < 50) WHERE rank = 1""".stripMargin
+        |  WHERE a.vec_id < 50) WHERE rank = 1""".stripMargin,
+    "q28_task_serde" ->
+      """SELECT event_id, 'http://h' || CAST(user_id % 40 AS VARCHAR) ||
+        |   '.example/e' || CAST(event_id AS VARCHAR) AS task_url
+        | FROM events WHERE event_id % 7 != 0""".stripMargin,
     // q18-q27: sketch/UDF/crawl/multimodal operators — not ANSI-SQL-expressible;
     // covered by ScalaTest golden/property suites (driver records rows-only checks)
   )

@@ -60,8 +60,21 @@ final case class ParsedUrl(
  */
 object UrlCanon {
 
-  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*):(.*)$".r
   private val DefaultPorts = Map("http" -> 80, "https" -> 443, "ws" -> 80, "wss" -> 443, "ftp" -> 21)
+
+  /** Split "scheme:rest" without regex (hot path). RFC 3986 scheme =
+   * ALPHA *( ALPHA / DIGIT / "+" / "-" / "." ). */
+  private def schemeSplit(s: String): Option[(String, String)] = {
+    if (s.isEmpty || !s.charAt(0).isLetter) return None
+    var i = 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ':') return Some((s.substring(0, i), s.substring(i + 1)))
+      if (!(c.isLetterOrDigit || c == '+' || c == '.' || c == '-')) return None
+      i += 1
+    }
+    None
+  }
 
   /** Strict UTF-8 decode — invalid bytes reject the task
    * (reference: worker/src/task.rs:24-31,127-133). */
@@ -77,16 +90,15 @@ object UrlCanon {
    * matching the reference's `Url::parse` of raw task bytes
    * (worker/src/task.rs:119-125: `mail@aau.dk` ⇒ Err). */
   def parse(s: String): Option[ParsedUrl] = {
-    val trimmed = s.trim
-    trimmed match {
-      case SchemeRe(scheme, rest) =>
+    schemeSplit(s.trim) match {
+      case Some((scheme, rest)) =>
         if (rest.startsWith("//")) parseHierarchical(scheme, rest.drop(2))
         else {
           // non-hierarchical (urn:, mailto:, data:) — opaque scheme-specific part
           val (ssp, frag) = splitFragment(rest)
           Some(ParsedUrl(scheme, None, None, None, "", None, frag, Some(ssp)))
         }
-      case _ => None
+      case None => None
     }
   }
 
@@ -141,12 +153,25 @@ object UrlCanon {
     h.startsWith("[") || h.forall(c =>
       c.isLetterOrDigit || c == '.' || c == '-' || c == '_' || c == '%')
 
-  private val PctTriplet = "%[0-9a-fA-F]{2}".r
+  @inline private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
 
-  /** Uppercase every %-encoded hex triplet (defaultnormaliser.rs:83-127). */
-  private[core] def upperPercentTriplets(s: String): String =
-    if (s.indexOf('%') < 0) s
-    else PctTriplet.replaceAllIn(s, m => m.matched.toUpperCase)
+  /** Uppercase every %-encoded hex triplet (defaultnormaliser.rs:83-127).
+   * Char-scan, no regex — this sits on the per-link hot path. */
+  private[graft] def upperPercentTriplets(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val chars = s.toCharArray
+    var i = 0
+    while (i < chars.length) {
+      if (chars(i) == '%' && i + 2 < chars.length &&
+          isHex(chars(i + 1)) && isHex(chars(i + 2))) {
+        chars(i + 1) = Character.toUpperCase(chars(i + 1))
+        chars(i + 2) = Character.toUpperCase(chars(i + 2))
+        i += 3
+      } else i += 1
+    }
+    new String(chars)
+  }
 
   /** Stable sort of query pairs by (key, value); original pair text kept
    * otherwise intact (defaultnormaliser.rs:44-45 library pass). */
@@ -182,13 +207,18 @@ object UrlCanon {
    * merge semantics (reference: worker/src/extractor/html.rs:74-79,
    * `Url::options().base_url(...)`). Returns the resolved ABSOLUTE url
    * (not yet canonicalized), or None. */
-  def resolve(base: String, href: String): Option[String] = {
+  def resolve(base: String, href: String): Option[String] =
+    resolveToParsed(base, href).map(_.render)
+
+  /** Parsed form of `resolve` — lets callers canonicalize without re-parsing
+   * (the fused per-link hot path: one parse instead of three). */
+  def resolveToParsed(base: String, href: String): Option[ParsedUrl] = {
     val h = href.trim
-    if (h.isEmpty) return parse(base).map(_.render)
+    if (h.isEmpty) return parse(base)
     // absolute already?
-    if (SchemeRe.findFirstIn(h).isDefined && !h.startsWith("//")) return parse(h).map(_.render)
+    if (schemeSplit(h).isDefined) return parse(h)
     parse(base).filter(_.isHierarchical).flatMap { b =>
-      if (h.startsWith("//")) parse(b.scheme + ":" + h).map(_.render)
+      if (h.startsWith("//")) parse(b.scheme + ":" + h)
       else {
         val (rest, frag) = splitFragment(h)
         val (pq, query) = {
@@ -204,7 +234,7 @@ object UrlCanon {
           }
         val path = removeDotSegments(mergedPath)
         val q = if (pq.isEmpty && query.isEmpty) b.query else query
-        Some(ParsedUrl(b.scheme, b.userInfo, b.host, b.port, path, q, frag, None).render)
+        Some(ParsedUrl(b.scheme, b.userInfo, b.host, b.port, path, q, frag, None))
       }
     }
   }
@@ -235,4 +265,15 @@ object UrlCanon {
   /** Keep only http/https (reference: worker/src/extractor/html.rs:80-86). */
   def isFetchableScheme(url: String): Boolean =
     parse(url).exists(p => { val s = p.scheme.toLowerCase; s == "http" || s == "https" })
+
+  /** Fused per-link hot path: resolve href against base, scheme-filter,
+   * canonicalize, and extract host — ONE parse, one render (the unfused
+   * pipeline P2→P3→P4-P6→host parses the same URL three times). Semantics
+   * identical by construction (property-tested against the unfused path). */
+  def resolveCanonHost(base: String, href: String): Option[(String, String)] =
+    resolveToParsed(base, href).flatMap { p =>
+      val scheme = p.scheme.toLowerCase
+      if (scheme != "http" && scheme != "https") None
+      else p.host.map { h => (canonicalize(p), h.toLowerCase) }
+    }
 }

@@ -150,6 +150,15 @@ object CorpusGen {
   def pageDoc(cfg: CorpusConfig, h: Int, p: Int): Document =
     Document(pageUrl(h, p), pageSpans(cfg, h, p))
 
+  /** Just the raw link hrefs of page (h,p), in link order — identical to
+   * the link spans inside `pageSpans` (same linkHref stream) but without
+   * materialising text/media spans. This is the Generator-fetch hot path:
+   * extraction output only, no page-body allocation. */
+  def pageHrefs(cfg: CorpusConfig, h: Int, p: Int): Seq[String] = {
+    val n = linkCountOf(cfg, h, p)
+    (0 until n).map(k => linkHref(cfg, h, p, k))
+  }
+
   /** All (host, page) ids — for the oracle and for Spark generation. */
   def allPageIds(cfg: CorpusConfig): Seq[(Int, Int)] =
     for { h <- 0 until cfg.numHosts; p <- 0 until pageCount(cfg, h) } yield (h, p)

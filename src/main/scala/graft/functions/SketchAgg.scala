@@ -25,15 +25,24 @@ object SketchAgg {
 
   def bloomAgg(expectedItems: Long, fpp: Double): BloomAgg = new BloomAgg(expectedItems, fpp)
 
-  /** Partition-parallel bloom build with log-depth merge. */
-  def buildBloom(urls: Dataset[String], expectedItems: Long, fpp: Double): BloomSketch = {
+  /** Partition-parallel bloom build with log-depth merge.
+   *
+   * Every partial sketch has the FULL geometry (they must, to OR-merge), so
+   * the build cost is dominated by sketch-sized transfers, not row hashing.
+   * Coalescing to a few build partitions keeps that cost independent of the
+   * cluster's core count (32 cores would otherwise ship 32 full sketches per
+   * generation); hashing a generation's delta is trivial in comparison. */
+  def buildBloom(urls: Dataset[String], expectedItems: Long, fpp: Double,
+      buildPartitions: Int = 8): BloomSketch = {
     val empty = BloomSketch.create(expectedItems, fpp)
-    val rdd = urls.rdd.mapPartitions { it =>
+    val coalesced = urls.rdd.coalesce(math.max(1, buildPartitions))
+    val rdd = coalesced.mapPartitions { it =>
       val sk = BloomSketch.create(expectedItems, fpp)
-      it.foreach(u => if (u != null) sk.put(u))
-      Iterator.single(sk)
+      var any = false
+      it.foreach(u => if (u != null) { sk.put(u); any = true })
+      if (any) Iterator.single(sk) else Iterator.empty
     }
     if (rdd.isEmpty()) empty
-    else rdd.treeReduce((a, b) => a.mergeInPlace(b), depth = 3)
+    else rdd.treeReduce((a, b) => a.mergeInPlace(b), depth = 2)
   }
 }

@@ -39,4 +39,13 @@ object UrlFunctions {
 
   /** true iff scheme is http/https. */
   def fetchableScheme(c: Column): Column = schemeOkUdf(c)
+
+  private val resolveCanonHostUdf = udf((base: String, href: String) =>
+    if (base == null || href == null) None
+    else UrlCanon.resolveCanonHost(base, href))
+
+  /** Fused resolve→scheme-filter→canonicalize→host (one URL parse) —
+   * struct(url, host), null when unresolvable/non-http(s)/host-less. */
+  def resolveCanonHost(base: Column, href: Column): Column =
+    resolveCanonHostUdf(base, href)
 }

@@ -5,7 +5,7 @@ import graft.functions.{BloomSketch, SketchAgg}
 import graft.model.Document
 import graft.operators.{CrawlConfig, FrontierStep}
 import graft.plans.TableIO
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
  *
  * Resume = `TableIO.lastCommittedGen()`; a crash mid-generation leaves no
  * visible state (manifest is written last, atomically).
+ *
+ * Action economy (this is the per-generation fixed cost that dominates when
+ * frontiers are small, and is amortised when they are 10^6+ rows): every
+ * row count and outcome tally piggybacks on the three writes via
+ * `Observation` — no extra scan jobs; the only extra pass is the bloom
+ * build over the (persisted) discovered set. The next generation's
+ * frontier row count travels in the commit manifest, so the loop never
+ * issues a bare `count()`.
  */
 object CrawlLoop {
 
@@ -37,6 +45,8 @@ object CrawlLoop {
   private val taskCols =
     Seq("url", "host", "priority", "next_fetch", "retry_count", "gen")
 
+  private val FrontierRowsRe = """"next_frontier_rows"\s*:\s*(\d+)""".r
+
   /** Run (or resume) the crawl until the frontier drains or maxGens. */
   def run(
       spark: SparkSession,
@@ -46,78 +56,95 @@ object CrawlLoop {
       maxGens: Int = 50): RunResult = {
 
     val docs: Dataset[Document] = CorpusTables.documents(spark, cfg.corpus)
+    import spark.implicits._
 
     // --- bootstrap or resume -------------------------------------------------
+    var frontierRows: Long = 0L
     val startGen: Int = io.lastCommittedGen() match {
-      case Some(g) => g + 1
+      case Some(g) =>
+        frontierRows = FrontierRowsRe.findFirstMatchIn(io.readManifest(g))
+          .map(_.group(1).toLong)
+          .getOrElse(spark.read.parquet(io.genDir("frontier", g)).count())
+        g + 1
       case None =>
-        // gen "-1" bootstrap commit: seeds become frontier(0) AND seen delta(0-) —
-        // the reference marks a URL seen when enqueued (fanout to both queues,
+        // bootstrap commit: seeds become frontier(0) AND seen delta(0) — the
+        // reference marks a URL seen when enqueued (fanout to both queues,
         // rmqredis.rs:138-159; SURVEY §3.3)
         val seedDf = FrontierStep.seedFrontier(spark, seeds)
         seedDf.write.mode("overwrite").parquet(io.genDir("frontier", 0))
         seedDf.select("url").write.mode("overwrite").parquet(io.genDir("seen", 0))
-        import spark.implicits._
         val bloom = SketchAgg.buildBloom(
           seedDf.select("url").as[String], cfg.bloomExpectedItems, cfg.bloomFpp)
         io.writeBloom(0, bloom.serialize())
-        io.commit(0, s"""{"gen":0,"kind":"bootstrap","seeds":${seeds.size}}""")
+        val n = seedDf.count()
+        io.commit(0,
+          s"""{"gen":0,"kind":"bootstrap","seeds":${seeds.size},"next_frontier_rows":$n}""")
+        frontierRows = n
         1
     }
 
     val stats = Seq.newBuilder[GenStats]
     var gen = startGen
-    var frontierEmpty = false
 
-    while (gen <= maxGens && !frontierEmpty) {
+    while (gen <= maxGens && frontierRows > 0L) {
       val t0 = System.nanoTime()
-      import spark.implicits._
-
       val prevGen = gen - 1
       val frontier = spark.read.parquet(io.genDir("frontier", prevGen))
-      val frontierRows = frontier.count()
-      if (frontierRows == 0L) { frontierEmpty = true }
-      else {
-        val seen = spark.read.parquet(io.deltaDirs("seen", prevGen): _*)
-          .select("url")
-        val bloom = io.readBloom(prevGen).map(BloomSketch.deserialize)
+      val seen = spark.read.parquet(io.deltaDirs("seen", prevGen): _*).select("url")
+      val bloom = io.readBloom(prevGen).map(BloomSketch.deserialize)
 
-        val res = FrontierStep.step(spark, frontier, seen, bloom, docs, cfg, prevGen)
+      val res = FrontierStep.step(spark, frontier, seen, bloom, docs, cfg, prevGen)
 
-        // ---- the "fanout exchange" write: discovered computed once, two readers
-        res.nextFrontier.select(taskCols.map(col): _*)
-          .write.mode("overwrite").parquet(io.genDir("frontier", gen))
-        res.discovered.select("url")
-          .write.mode("overwrite").parquet(io.genDir("seen", gen))
-        res.outcomes.write.mode("overwrite").parquet(io.genDir("outcomes", gen))
+      // ---- the "fanout exchange" write: discovered computed once, two readers;
+      //      all counts observed on the writes themselves (no extra scans)
+      val obsFrontier = Observation()
+      res.nextFrontier.select(taskCols.map(col): _*)
+        .observe(obsFrontier, count(lit(1)).as("rows"))
+        .write.mode("overwrite").parquet(io.genDir("frontier", gen))
 
-        // ---- incremental bloom: delta sketch ∪ cumulative (no seen rescan)
-        val deltaUrls = spark.read.parquet(io.genDir("seen", gen)).as[String]
-        val deltaBloom = SketchAgg.buildBloom(deltaUrls, cfg.bloomExpectedItems, cfg.bloomFpp)
-        val merged = bloom match {
-          case Some(b) => b.mergeInPlace(deltaBloom)
-          case None => deltaBloom
-        }
-        io.writeBloom(gen, merged.serialize())
+      val obsSeen = Observation()
+      res.discovered.select("url")
+        .observe(obsSeen, count(lit(1)).as("rows"))
+        .write.mode("overwrite").parquet(io.genDir("seen", gen))
 
-        // ---- metrics + lineage (A1-A3)
-        val oc = spark.read.parquet(io.genDir("outcomes", gen))
-          .groupBy("outcome").count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val discoveredN = deltaUrls.count()
-        val fetchedN = oc.values.sum
-        val wallMs = (System.nanoTime() - t0) / 1000000L
-        val st = GenStats(prevGen, frontierRows, fetchedN, discoveredN,
-          oc.getOrElse("ok", 0L), oc.getOrElse("err", 0L), oc.getOrElse("reject", 0L), wallMs)
-        stats += st
-        io.commit(gen,
-          s"""{"gen":$gen,"frontier_rows":$frontierRows,"fetched":$fetchedN,""" +
-          s""""discovered":$discoveredN,"ok":${st.okCount},"err":${st.errCount},""" +
-          s""""reject":${st.rejectCount},"wall_ms":$wallMs,""" +
-          s""""partitions":${spark.sparkContext.defaultParallelism}}""")
+      val obsOut = Observation()
+      res.outcomes
+        .observe(obsOut,
+          count(lit(1)).as("n"),
+          sum(when(col("outcome") === "ok", 1L).otherwise(0L)).as("ok"),
+          sum(when(col("outcome") === "err", 1L).otherwise(0L)).as("err"),
+          sum(when(col("outcome") === "reject", 1L).otherwise(0L)).as("reject"))
+        .write.mode("overwrite").parquet(io.genDir("outcomes", gen))
 
-        spark.catalog.clearCache() // drop per-step persists; next gen reads parquet
+      // ---- incremental bloom: delta sketch ∪ cumulative (no seen rescan; the
+      //      discovered set is still persisted from the step)
+      val deltaBloom = SketchAgg.buildBloom(
+        res.discovered.select("url").as[String], cfg.bloomExpectedItems, cfg.bloomFpp)
+      val merged = bloom match {
+        case Some(b) => b.mergeInPlace(deltaBloom)
+        case None => deltaBloom
       }
+      io.writeBloom(gen, merged.serialize())
+
+      // ---- metrics + lineage (A1-A3) from the observations
+      val nextRows = obsFrontier.get.apply("rows").asInstanceOf[Long]
+      val discoveredN = obsSeen.get.apply("rows").asInstanceOf[Long]
+      val om = obsOut.get
+      def l(k: String): Long = Option(om(k)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val fetchedN = l("n")
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      val st = GenStats(prevGen, frontierRows, fetchedN, discoveredN,
+        l("ok"), l("err"), l("reject"), wallMs)
+      stats += st
+      io.commit(gen,
+        s"""{"gen":$gen,"frontier_rows":$frontierRows,"fetched":$fetchedN,""" +
+        s""""discovered":$discoveredN,"ok":${st.okCount},"err":${st.errCount},""" +
+        s""""reject":${st.rejectCount},"wall_ms":$wallMs,""" +
+        s""""next_frontier_rows":$nextRows,""" +
+        s""""partitions":${spark.sparkContext.defaultParallelism}}""")
+
+      spark.catalog.clearCache() // drop per-step persists; next gen reads parquet
+      frontierRows = nextRows
       gen += 1
     }
     RunResult(stats.result(), gen - 1)
@@ -127,7 +154,7 @@ object CrawlLoop {
    * first enqueued at — the (url → generation) map of SURVEY §7.6. */
   def seenWithGen(spark: SparkSession, io: TableIO): DataFrame = {
     val last = io.lastCommittedGen().getOrElse(0)
-    io.deltaDirs("seen", last).zipWithIndex.map { case (dir, _) =>
+    io.deltaDirs("seen", last).map { dir =>
       val g = dir.split("gen=").last.toInt
       spark.read.parquet(dir).select(col("url"), lit(g).as("gen"))
     }.reduce(_ unionByName _)

@@ -7,6 +7,19 @@ import graft.model.{Document, Outcome}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** How pages are fetched (reference: Downloader trait, traits.rs:46-48).
+ *  - CorpusJoin: equi-join frontier × documents table — the "corpus as a
+ *    durable table" path; exercises the join machinery; cost ∝ corpus size.
+ *  - Generator: narrow per-row fetch from the deterministic corpus function —
+ *    the exact dataflow shape of the production `mapPartitions` HTTP fetcher
+ *    (HttpFetcher): cost ∝ SELECTED tasks only, zero shuffle, no corpus scan.
+ *  Both modes are golden-tested to produce identical crawls. */
+sealed trait FetchMode extends Serializable
+object FetchMode {
+  case object CorpusJoin extends FetchMode
+  case object Generator extends FetchMode
+}
+
 /** Engine configuration for the BSP crawl loop. */
 final case class CrawlConfig(
     corpus: CorpusConfig = CorpusConfig(),
@@ -18,7 +31,8 @@ final case class CrawlConfig(
     maxRetries: Int = 3,
     bloomExpectedItems: Long = 1L << 20,
     bloomFpp: Double = 0.01,
-    useBloomPrefilter: Boolean = true
+    useBloomPrefilter: Boolean = true,
+    fetchMode: FetchMode = FetchMode.CorpusJoin
 )
 
 /** Output of one BSP generation (SURVEY.md §3.4). All DataFrames are lazy. */
@@ -73,45 +87,91 @@ object FrontierStep {
     // --- O1: politeness priority-queue cap, skew-salted -----------------------
     val marked = Politeness.markTopKPerHost(frontier, cfg.perHostCap, cfg.saltBuckets)
       .persist()
+    // Skew-break (north_rule "skewed-host salting to break hot-domain
+    // partitions"): the politeness window leaves rows HOST-partitioned, so a
+    // Zipf-head host would put its whole fetch+extract fan-out in one task.
+    // Rebalance by url hash before the expensive per-page work. The partition
+    // count is EXPLICIT: AQE would coalesce by map-output size, blind to the
+    // ~12× link fan-out and per-page fetch cost downstream.
+    val fetchParts = spark.sparkContext.defaultParallelism * 3
     val fetchable = marked.filter(col("selected")).drop("selected")
+      .repartition(fetchParts, col("url"))
     val deferred = marked.filter(!col("selected")).drop("selected")
 
-    // --- S5: fetch = join against the corpus ("the mock internet") -----------
-    // Broadcast never applies here at scale (corpus = the web); shuffle hash
-    // join on url. Missing page ⇒ classify 404 (Err) vs unreachable (Reject)
-    // with the pure resolver (reference error mapping errors.rs:89-183).
+    // --- S5: fetch (reference downloader.rs:26-41) ----------------------------
+    // Two physical strategies with identical semantics (golden-tested equal):
+    //  - CorpusJoin: equi-join against the documents table ("the mock internet"
+    //    as data). Broadcast never applies at web scale (corpus = the web) ⇒
+    //    shuffle join on url; the joined rows (with spans) are persisted since
+    //    recomputing the join is expensive.
+    //  - Generator: narrow per-row fetch — the dataflow shape of the
+    //    production mapPartitions HTTP path (HttpFetcher): cost ∝ selected
+    //    tasks, zero shuffle. Outcome classification is split from span
+    //    generation so the outcomes branch never materialises spans and
+    //    NOTHING span-heavy is ever cached (spans exist only inside the ok
+    //    branch of the link pipeline).
+    // Missing pages classify 404 (Err) vs unreachable (Reject) via the pure
+    // resolver (reference error mapping errors.rs:89-183).
     val corpusCfg = cfg.corpus
     val classify = udf((url: String) => CorpusGen.resolvePage(corpusCfg, url) match {
       case CorpusGen.PageLookup.Found(_, _) => Outcome.Ok
       case CorpusGen.PageLookup.NotFound    => Outcome.Err
       case CorpusGen.PageLookup.Unreachable => Outcome.Reject
     })
-    val fetched = fetchable
-      .join(docs.toDF("doc_id", "spans"), fetchable("url") === col("doc_id"), "left")
-      .withColumn("outcome",
-        when(col("doc_id").isNotNull, Outcome.Ok).otherwise(classify(col("url"))))
-      .withColumn("error_kind",
-        when(col("outcome") === Outcome.Ok, lit(""))
-          .when(col("outcome") === Outcome.Err, lit("InvalidPage"))
-          .otherwise(lit("NetworkError")))
-      .persist()
+    val fetched = cfg.fetchMode match {
+      case FetchMode.CorpusJoin =>
+        fetchable
+          .join(docs.toDF("doc_id", "spans"), fetchable("url") === col("doc_id"), "left")
+          .withColumn("outcome",
+            when(col("doc_id").isNotNull, Outcome.Ok).otherwise(classify(col("url"))))
+          .persist()
+      case FetchMode.Generator =>
+        fetchable.withColumn("outcome", classify(col("url")))
+    }
 
-    val outcomes = fetched.select(lit(gen).as("gen"), col("url"),
-      col("outcome"), col("error_kind"))
+    val outcomes = fetched.select(lit(gen).as("gen"), col("url"), col("outcome"),
+      when(col("outcome") === Outcome.Ok, lit(""))
+        .when(col("outcome") === Outcome.Err, lit("InvalidPage"))
+        .otherwise(lit("NetworkError")).as("error_kind"))
 
-    // --- P1-P6: link spans → resolved, canonical, hosted candidates ----------
-    val links = fetched
-      .filter(col("outcome") === Outcome.Ok)
-      .select(col("url").as("base_url"),
-        explode(filter(col("spans"), s => s.getField("kind") === Span.Link)).as("span"))
-      .select(col("base_url"), col("span.media_ref").as("href"))
-      .withColumn("resolved", UrlFunctions.resolveHref(col("base_url"), col("href")))
-      .filter(col("resolved").isNotNull)
-      .withColumn("url", UrlFunctions.canonicalizeUrl(col("resolved")))
-      .filter(col("url").isNotNull)
-      .withColumn("host", UrlFunctions.urlHost(col("url")))
-      .filter(col("host").isNotNull)
-      .select("url", "host")
+    // --- P1-P6: link spans → resolved, canonical, hosted candidates.
+    // Fused resolve+canonicalize+host UDF: one URL parse per link instead of
+    // three — the per-link hot path is allocation-bound at scale.
+    val links = cfg.fetchMode match {
+      case FetchMode.CorpusJoin =>
+        // the durable span table: links are kind='link' spans, resolved and
+        // canonicalized by the fused single-parse UDF
+        fetched.filter(col("outcome") === Outcome.Ok)
+          .select(col("url").as("base_url"),
+            explode(filter(col("spans"), s => s.getField("kind") === Span.Link)).as("span"))
+          .select(col("base_url"), col("span.media_ref").as("href"))
+          .withColumn("rch", UrlFunctions.resolveCanonHost(col("base_url"), col("href")))
+          .filter(col("rch").isNotNull)
+          .select(col("rch._1").as("url"), col("rch._2").as("host"))
+      case FetchMode.Generator =>
+        // inline fetch+extract+normalise as ONE typed mapPartitions — the
+        // production HTTP path's shape (SURVEY S5; the reference worker runs
+        // fetch→extract→normalise per task, worker.rs:70-119). One row
+        // crossing per candidate instead of three UDF boundaries + explode;
+        // within-page dedup (reference P7, defaultnormaliser.rs:22-34)
+        // shrinks the global dedup shuffle.
+        fetched.filter(col("outcome") === Outcome.Ok).select("url").as[String]
+          .mapPartitions { it =>
+            it.flatMap { base =>
+              CorpusGen.resolvePage(corpusCfg, base) match {
+                case CorpusGen.PageLookup.Found(h, p) =>
+                  val inPage = new java.util.HashSet[String]()
+                  CorpusGen.pageHrefs(corpusCfg, h, p).iterator.flatMap { href =>
+                    graft.core.UrlCanon.resolveCanonHost(base, href) match {
+                      case Some((u, host)) if inPage.add(u) => Iterator.single((u, host))
+                      case _ => Iterator.empty
+                    }
+                  }
+                case _ => Iterator.empty
+              }
+            }
+          }.toDF("url", "host")
+    }
 
     // --- P7: per-generation dedup (map-side partial via AQE + shuffle) -------
     val candidates = links.dropDuplicates("url")

@@ -79,6 +79,18 @@ class GoldenCrawlSpec extends AnyFunSuite {
     assert(gated.isEmpty, s"robots-disallowed URLs crawled: ${gated.take(5)}")
   }
 
+  test("Generator fetch mode produces an identical crawl to CorpusJoin mode") {
+    val base = CrawlConfig(corpus = CorpusConfig(seed = 42L, numHosts = 15, maxPages = 30),
+      perHostCap = 3)
+    val seeds = CorpusGen.seeds(base.corpus, 3)
+    val (genJ, outJ, _) = runBoth(base, seeds, maxGens = 15)
+    val (genG, outG, oracle) = runBoth(
+      base.copy(fetchMode = graft.operators.FetchMode.Generator), seeds, maxGens = 15)
+    assert(genJ == genG)
+    assert(outJ == outG)
+    assert(genG == oracle.seenGen)
+  }
+
   test("resume from checkpoint is byte-identical to an uninterrupted run") {
     val spark = SparkSuite.spark
     val cfg = CrawlConfig(corpus = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24),
