@@ -214,6 +214,15 @@ object SparkEntry {
         .toDF().select("doc_id", "media_ref", "n_bytes", "width", "height")
         .orderBy("doc_id", "media_ref")
     }),
+    // --- dedup: embedding-cosine near-dup pairs (brute force baseline) -----------------------------
+    "q29_embed_neardup" -> ((s, dir) =>
+      Similarity.cosinePairs(t(s, dir, "embeddings"), threshold = 0.35)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine_r"))
+        .orderBy("id_a", "id_b")),
+    // --- text analysis: rolling-hash document fingerprint -------------------------------------------
+    "q30_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        Dedup.fingerprintCol(col("text")).as("fingerprint"))),
     // --- S4: task serde — binary payload → UTF-8 decode → URL parse; invalid ⇒ dropped -------------
     "q28_task_serde" -> ((s, dir) => {
       val wire = t(s, dir, "events").select(col("event_id"), col("user_id"),

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions (with `doGenCode`) for the two hottest
+ * predicates — native expressions stay inside whole-stage codegen where a
+ * Scala UDF would force an encoder boundary per row:
+ *
+ *  - `BloomMightContain`: the seen-set prefilter probe (J1). At 10^10-URL
+ *    scale this runs once per candidate URL per generation; the generated
+ *    code calls straight into the sketch on the UTF8String bytes with no
+ *    boxing/Option allocation.
+ *  - `HammingDistance`: SimHash near-dup verification — compiles to
+ *    `Long.bitCount(a ^ b)`.
+ *
+ * Both are pure/deterministic (Catalyst may reorder, dedup, push them).
+ */
+case class BloomMightContain(child: Expression, sketchBytes: Array[Byte])
+    extends UnaryExpression {
+
+  // one deserialization per task (the expression instance is task-local)
+  @transient private lazy val sketch: BloomSketch = BloomSketch.deserialize(sketchBytes)
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override protected def nullSafeEval(v: Any): Any =
+    sketch.mightContain(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the deserialized sketch rides the plan's reference array (shipped once
+    // per stage via the task-binary broadcast, not per row)
+    val ref = ctx.addReferenceObj("bloomSketch", sketch, classOf[BloomSketch].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.mightContain($c.toString());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hamming_distance"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = java.lang.Long.bitCount($a ^ $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+object NativeExpressions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{toColumn, toExpression}
+
+  /** Column API for the bloom probe. */
+  def bloomMightContain(c: Column, sketch: BloomSketch): Column =
+    toColumn(BloomMightContain(toExpression(c), sketch.serialize()))
+
+  /** Column API for hamming distance over two 64-bit fingerprints. */
+  def hammingDistance(a: Column, b: Column): Column =
+    toColumn(HammingDistance(toExpression(a), toExpression(b)))
+}

@@ -85,7 +85,6 @@ object Dedup {
 
   private val simhashUdf = udf((t: String) => TextFunctions.simhash(t))
   private val segUdf = udf((h: Long, seg: Int) => TextFunctions.simhashSegments(h, seg))
-  private val hamUdf = udf((a: Long, b: Long) => TextFunctions.hammingDistance(a, b))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (< segments
    * guaranteed found by pigeonhole; default 4 segments ⇒ exact for ≤3). */
@@ -100,7 +99,8 @@ object Dedup {
     a.join(b, Seq("seg_key"))
       .filter(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", hamUdf(col("sh_a"), col("sh_b")))
+      .withColumn("hamming", // native codegen'd expression: Long.bitCount(a^b)
+        graft.functions.NativeExpressions.hammingDistance(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }

@@ -194,10 +194,11 @@ object FrontierStep {
     // skip it (a bloom FP costs a probe, never a URL — SURVEY §7.3).
     val discoveredUrls = seenBloom match {
       case Some(sketch) if cfg.useBloomPrefilter =>
-        val bc = spark.sparkContext.broadcast(sketch.serialize())
-        // deserialize once per executor (lazy val in the closure), not per row
-        val lazyContain = udf(new SerializableContains(bc.value))
-        val tagged = allowed.withColumn("_maybe", lazyContain(col("url"))).persist()
+        // native codegen'd probe — stays inside whole-stage codegen, no
+        // per-row boxing (graft.functions.BloomMightContain)
+        val tagged = allowed.withColumn("_maybe",
+          graft.functions.NativeExpressions.bloomMightContain(col("url"), sketch))
+          .persist()
         val definitelyNew = tagged.filter(!col("_maybe")).drop("_maybe")
         val maybeSeen = tagged.filter(col("_maybe")).drop("_maybe")
         definitelyNew.unionByName(
