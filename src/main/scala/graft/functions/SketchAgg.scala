@@ -4,6 +4,22 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
 /**
+ * Sharded cuckoo filter — the DELETION-capable seen-sketch variant at scale
+ * (north_rule). A single cuckoo table cannot be union-merged (inserts kick),
+ * so the scale design shards by url hash: each shard is built entirely inside
+ * one partition (no merge step), probes/deletes route to `shardOf(url)`.
+ * At 10^10 URLs the shards stay distributed alongside the `seen` buckets;
+ * here they are collected (MBs) and broadcast like the bloom sketch.
+ */
+final class ShardedCuckoo(val shards: Array[CuckooFilter]) extends Serializable {
+  @inline private def shardOf(s: String): Int =
+    Math.floorMod(BloomSketch.hash(s, 0x5ca4d0L), shards.length.toLong).toInt
+  def contains(s: String): Boolean = shards(shardOf(s)).contains(s)
+  def insert(s: String): Boolean = shards(shardOf(s)).insert(s)
+  def delete(s: String): Boolean = shards(shardOf(s)).delete(s)
+}
+
+/**
  * Distributed sketch construction.
  *
  * `BloomAgg` is the idiomatic typed `Aggregator[String, _, Array[Byte]]`
@@ -44,5 +60,25 @@ object SketchAgg {
     }
     if (rdd.isEmpty()) empty
     else rdd.treeReduce((a, b) => a.mergeInPlace(b), depth = 2)
+  }
+
+  /** Distributed sharded-cuckoo build: urls are hash-routed to `shards`
+   * partitions and each shard's table is built wholly inside its partition
+   * (cuckoo tables don't merge — kicks depend on occupancy order). */
+  def buildShardedCuckoo(urls: Dataset[String], expectedItems: Long,
+      shards: Int = 32): ShardedCuckoo = {
+    val perShard = math.max(64L, expectedItems / shards)
+    val built = urls.rdd
+      .keyBy(u => Math.floorMod(BloomSketch.hash(u, 0x5ca4d0L), shards.toLong).toInt)
+      .partitionBy(new org.apache.spark.HashPartitioner(shards))
+      .mapPartitionsWithIndex { (_, it) =>
+        var shardId = -1
+        val cf = CuckooFilter.create(perShard)
+        it.foreach { case (sid, u) => shardId = sid; cf.insert(u) }
+        if (shardId < 0) Iterator.empty else Iterator.single(shardId -> cf)
+      }
+      .collect().toMap
+    new ShardedCuckoo(Array.tabulate(shards)(i =>
+      built.getOrElse(i, CuckooFilter.create(perShard))))
   }
 }

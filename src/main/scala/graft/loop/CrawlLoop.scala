@@ -136,12 +136,37 @@ object CrawlLoop {
       val st = GenStats(prevGen, frontierRows, fetchedN, discoveredN,
         l("ok"), l("err"), l("reject"), wallMs)
       stats += st
+      // stage-level counts (A1/A2): observed on the main job, no extra scans
+      val stages = res.stageObservations.toSeq.sortBy(_._1).map { case (k, o) =>
+        // safe to block: the frontier write above evaluated the full pipeline
+        val v = o.get.get("n").map(_.asInstanceOf[Long]).getOrElse(-1L)
+        s""""$k":$v"""
+      }.mkString("{", ",", "}")
+      // per-partition lineage: the committed output files of this generation
+      // (name + bytes straight from directory metadata — no data scan)
+      def lineage(table: String): String = {
+        val dir = java.nio.file.Paths.get(io.genDir(table, gen))
+        if (!java.nio.file.Files.isDirectory(dir)) "[]"
+        else {
+          val files = java.nio.file.Files.list(dir).iterator()
+          val out = Seq.newBuilder[String]
+          while (files.hasNext) {
+            val f = files.next()
+            val name = f.getFileName.toString
+            if (name.endsWith(".parquet"))
+              out += s"""{"file":"$name","bytes":${java.nio.file.Files.size(f)}}"""
+          }
+          out.result().mkString("[", ",", "]")
+        }
+      }
       io.commit(gen,
         s"""{"gen":$gen,"frontier_rows":$frontierRows,"fetched":$fetchedN,""" +
         s""""discovered":$discoveredN,"ok":${st.okCount},"err":${st.errCount},""" +
         s""""reject":${st.rejectCount},"wall_ms":$wallMs,""" +
         s""""next_frontier_rows":$nextRows,""" +
-        s""""partitions":${spark.sparkContext.defaultParallelism}}""")
+        s""""stages":$stages,""" +
+        s""""partitions":${spark.sparkContext.defaultParallelism},""" +
+        s""""lineage":{"frontier":${lineage("frontier")},"seen":${lineage("seen")}}}""")
 
       spark.catalog.clearCache() // drop per-step persists; next gen reads parquet
       frontierRows = nextRows

@@ -42,7 +42,11 @@ final case class StepResult(
     /** Newly discovered canonical URLs (⊆ nextFrontier) — the seen-set delta. */
     discovered: DataFrame,
     /** (gen, url, outcome, error_kind) for every fetch attempted this gen. */
-    outcomes: DataFrame
+    outcomes: DataFrame,
+    /** Per-stage row counts (A1/A2), populated once an action evaluates the
+     * pipeline: extracted links, post-dedup candidates, post-filter allowed.
+     * The observations ride the main job — no extra scans. */
+    stageObservations: Map[String, org.apache.spark.sql.Observation] = Map.empty
 )
 
 /**
@@ -174,7 +178,11 @@ object FrontierStep {
     }
 
     // --- P7: per-generation dedup (map-side partial via AQE + shuffle) -------
-    val candidates = links.dropDuplicates("url")
+    val obsLinks = new org.apache.spark.sql.Observation(s"links_g$gen")
+    val candidates = links.observe(obsLinks, count(lit(1)).as("n"))
+      .dropDuplicates("url")
+    val obsCandidates = new org.apache.spark.sql.Observation(s"candidates_g$gen")
+    val candidatesObs = candidates.observe(obsCandidates, count(lit(1)).as("n"))
 
     // --- F2/F3 + robots -------------------------------------------------------
     val hostFilter = cfg.filter
@@ -185,9 +193,11 @@ object FrontierStep {
     val robotsBc = spark.sparkContext.broadcast(robotsMap)
     val robotsOk = udf((host: String, url: String) =>
       graft.core.Robots.allowed(robotsBc.value.getOrElse(host, Nil), url))
-    val allowed = candidates
+    val obsAllowed = new org.apache.spark.sql.Observation(s"allowed_g$gen")
+    val allowed = candidatesObs
       .filter(keepHost(col("host")))
       .filter(!lit(cfg.useRobots) || robotsOk(col("host"), col("url")))
+      .observe(obsAllowed, count(lit(1)).as("n"))
 
     // --- J1: cull_known — bloom-prefiltered exact anti-join -------------------
     // "maybe seen" rows take the exact LEFT ANTI join; "definitely new" rows
@@ -233,7 +243,8 @@ object FrontierStep {
       if (cfg.requeueRejects) newTasks.unionByName(carried).unionByName(rejects)
       else newTasks.unionByName(carried)
 
-    StepResult(nextFrontier, discovered, outcomes)
+    StepResult(nextFrontier, discovered, outcomes,
+      Map("links" -> obsLinks, "candidates" -> obsCandidates, "allowed" -> obsAllowed))
   }
 
   /** Deterministic task priority ∈ [0,10) — pure, shared with the oracle. */

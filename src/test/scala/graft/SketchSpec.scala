@@ -57,6 +57,20 @@ class SketchSpec extends AnyFunSuite {
     assert(in.filterNot(_ == victim).forall(cf.contains))
   }
 
+  test("sharded cuckoo: distributed build, no false negatives, delete works") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val in = urls(20000, "sc")
+    val sc = graft.functions.SketchAgg.buildShardedCuckoo(
+      in.toDS(), expectedItems = 20000, shards = 16)
+    assert(in.forall(sc.contains))
+    val victim = in(123)
+    assert(sc.delete(victim))
+    assert(in.filterNot(_ == victim).forall(sc.contains))
+    val fp = urls(20000, "zz").count(sc.contains)
+    assert(fp < 20000 * 0.02, s"fp=$fp")
+  }
+
   test("cuckoo: low FPR on disjoint probes") {
     val cf = CuckooFilter.create(5000)
     urls(5000, "c").foreach(cf.insert)
