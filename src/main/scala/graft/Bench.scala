@@ -65,6 +65,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    spark.catalog.clearCache() // drop query-phase persists before the crawl phases
 
     // --- headline crawl throughput, two workloads (both sf-independent) -------
     // Generator fetch mode = the production mapPartitions-HTTP cost model
