@@ -266,6 +266,31 @@ object UrlCanon {
   def isFetchableScheme(url: String): Boolean =
     parse(url).exists(p => { val s = p.scheme.toLowerCase; s == "http" || s == "https" })
 
+  /** Host of an ALREADY-CANONICAL hierarchical URL, by char scan — no full
+   * parse. Canonical form guarantees lowercase host directly after "//"
+   * (or after the '@' of userinfo), terminated by ':', '/', '?' or end. */
+  def hostOfCanonical(url: String): String = {
+    val start0 = url.indexOf("//")
+    if (start0 < 0) return ""
+    var start = start0 + 2
+    var end = start
+    var at = -1
+    while (end < url.length && {
+      val c = url.charAt(end); c != '/' && c != '?' && c != '#'
+    }) {
+      if (url.charAt(end) == '@') at = end
+      end += 1
+    }
+    if (at >= 0) start = at + 1
+    if (start < end && url.charAt(start) == '[') { // IPv6 literal: [..]:port
+      val close = url.indexOf(']', start)
+      return if (close >= 0 && close < end) url.substring(start, close + 1) else ""
+    }
+    var hostEnd = start
+    while (hostEnd < end && url.charAt(hostEnd) != ':') hostEnd += 1
+    url.substring(start, hostEnd)
+  }
+
   /** Fused per-link hot path: resolve href against base, scheme-filter,
    * canonicalize, and extract host — ONE parse, one render (the unfused
    * pipeline P2→P3→P4-P6→host parses the same URL three times). Semantics

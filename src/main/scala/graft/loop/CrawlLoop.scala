@@ -72,7 +72,8 @@ object CrawlLoop {
         // rmqredis.rs:138-159; SURVEY §3.3)
         val seedDf = FrontierStep.seedFrontier(spark, seeds)
         seedDf.write.mode("overwrite").parquet(io.genDir("frontier", 0))
-        seedDf.select("url").write.mode("overwrite").parquet(io.genDir("seen", 0))
+        seedDf.select(col("url"), lit(0).as("gen"))
+          .write.mode("overwrite").parquet(io.genDir("seen", 0))
         val bloom = SketchAgg.buildBloom(
           seedDf.select("url").as[String], cfg.bloomExpectedItems, cfg.bloomFpp)
         io.writeBloom(0, bloom.serialize())
@@ -103,7 +104,7 @@ object CrawlLoop {
         .write.mode("overwrite").parquet(io.genDir("frontier", gen))
 
       val obsSeen = Observation()
-      res.discovered.select("url")
+      res.discovered.select(col("url"), lit(gen).as("gen"))
         .observe(obsSeen, count(lit(1)).as("rows"))
         .write.mode("overwrite").parquet(io.genDir("seen", gen))
 
@@ -169,6 +170,22 @@ object CrawlLoop {
         s""""lineage":{"frontier":${lineage("frontier")},"seen":${lineage("seen")}}}""")
 
       spark.catalog.clearCache() // drop per-step persists; next gen reads parquet
+
+      // ---- log-structured seen compaction: fold the delta log into one
+      // bucketed segment once it exceeds the threshold (crash-safe: data
+      // first, atomic marker second; readers switch only after the marker)
+      if (cfg.seenCompactEvery > 0) {
+        val segs = io.deltaDirs("seen", gen)
+        if (segs.size >= cfg.seenCompactEvery) {
+          val obsC = Observation()
+          spark.read.parquet(segs: _*)
+            .repartition(spark.sparkContext.defaultParallelism, col("url"))
+            .observe(obsC, count(lit(1)).as("rows"))
+            .write.mode("overwrite").parquet(io.compactDir("seen", gen))
+          io.commitCompaction("seen", gen, obsC.get.apply("rows").asInstanceOf[Long])
+        }
+      }
+
       frontierRows = nextRows
       gen += 1
     }
@@ -176,13 +193,11 @@ object CrawlLoop {
   }
 
   /** Final crawl output: the full seen set with the generation each URL was
-   * first enqueued at — the (url → generation) map of SURVEY §7.6. */
+   * first enqueued at — the (url → generation) map of SURVEY §7.6. Seen
+   * segments (deltas and compactions alike) carry the gen column. */
   def seenWithGen(spark: SparkSession, io: TableIO): DataFrame = {
     val last = io.lastCommittedGen().getOrElse(0)
-    io.deltaDirs("seen", last).map { dir =>
-      val g = dir.split("gen=").last.toInt
-      spark.read.parquet(dir).select(col("url"), lit(g).as("gen"))
-    }.reduce(_ unionByName _)
+    spark.read.parquet(io.deltaDirs("seen", last): _*).select("url", "gen")
   }
 
   /** All outcomes across committed generations. */

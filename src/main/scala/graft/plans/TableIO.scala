@@ -48,10 +48,44 @@ final class TableIO(val root: String) {
 
   def readManifest(gen: Int): String = Files.readString(manifest(gen))
 
-  /** All committed delta dirs of an append-only table (e.g. `seen`). */
-  def deltaDirs(table: String, upToGen: Int): Seq[String] =
-    committedGens().filter(_ <= upToGen).map(genDir(table, _))
+  // --- compaction (log-structured maintenance of append-only tables) --------
+  def compactDir(table: String, upToGen: Int): String =
+    p(table, f"compact_upto=$upToGen%05d").toString
+
+  private def compactMarker(table: String, gen: Int): Path =
+    p("_commits", f"compact_${table}_$gen%05d.json")
+
+  /** Publish a compaction of `table` covering all deltas ≤ upToGen. The
+   * marker is written atomically AFTER the compacted data; a crashed
+   * half-written compaction is invisible. Old deltas are retained (readers
+   * ignore them once covered; GC is a separate concern). */
+  def commitCompaction(table: String, upToGen: Int, rows: Long): Unit = {
+    val tmp = p("_commits", f"_tmp_compact_${table}_$upToGen%05d.json")
+    Files.writeString(tmp,
+      s"""{"table":"$table","upto_gen":$upToGen,"rows":$rows}""")
+    Files.move(tmp, compactMarker(table, upToGen), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Latest committed compaction of `table` at or below `upToGen`. */
+  def lastCompaction(table: String, upToGen: Int): Option[Int] =
+    if (!Files.isDirectory(p("_commits"))) None
+    else Files.list(p("_commits")).iterator.asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith(s"compact_${table}_") && s.endsWith(".json") =>
+        s.stripPrefix(s"compact_${table}_").stripSuffix(".json").toInt }
+      .filter(_ <= upToGen).maxOption
+
+  /** All committed data dirs of an append-only table (e.g. `seen`): the
+   * newest covering compaction (if any) plus the deltas after it. */
+  def deltaDirs(table: String, upToGen: Int): Seq[String] = {
+    val compacted = lastCompaction(table, upToGen)
+    val base = compacted.map(c => compactDir(table, c)).toSeq
+    val floor = compacted.getOrElse(-1)
+    (base ++ committedGens().filter(g => g > floor && g <= upToGen)
+      .map(genDir(table, _)))
       .filter(d => Files.isDirectory(Paths.get(d)))
+  }
 
   def bloomPath(gen: Int): Path = p("bloom", f"gen_$gen%05d.bin")
 

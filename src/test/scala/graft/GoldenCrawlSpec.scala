@@ -91,6 +91,35 @@ class GoldenCrawlSpec extends AnyFunSuite {
     assert(genG == oracle.seenGen)
   }
 
+  test("narrow-shuffle variant (host re-derived post-dedup) is crawl-identical") {
+    val base = CrawlConfig(corpus = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24),
+      perHostCap = 3, fetchMode = graft.operators.FetchMode.Generator)
+    val seeds = CorpusGen.seeds(base.corpus, 2)
+    val (genA, outA, _) = runBoth(base, seeds, maxGens = 12)
+    val (genB, outB, oracle) = runBoth(
+      base.copy(carryHostThroughDedup = false), seeds, maxGens = 12)
+    assert(genA == genB)
+    assert(outA == outB)
+    assert(genB == oracle.seenGen)
+  }
+
+  test("aggressive seen compaction is invisible to results and to resume") {
+    val spark = SparkSuite.spark
+    val cfg = CrawlConfig(corpus = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24),
+      perHostCap = 3, seenCompactEvery = 3) // compact nearly every generation
+    val seeds = CorpusGen.seeds(cfg.corpus, 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val io = new TableIO(dir)
+    CrawlLoop.run(spark, io, seeds, cfg, maxGens = 6) // interrupted mid-crawl
+    CrawlLoop.run(spark, io, seeds, cfg, maxGens = 18) // resume over compacted log
+    assert(io.lastCompaction("seen", io.lastCommittedGen().get).nonEmpty,
+      "compaction never triggered")
+    val engineGen = CrawlLoop.seenWithGen(spark, io).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val oracle = SeqCrawler.crawl(cfg, seeds, maxGens = 18)
+    assert(engineGen == oracle.seenGen)
+  }
+
   test("resume from checkpoint is byte-identical to an uninterrupted run") {
     val spark = SparkSuite.spark
     val cfg = CrawlConfig(corpus = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24),
