@@ -119,4 +119,55 @@ class UrlCanonSpec extends AnyFunSuite {
     assert(UrlCanon.removeDotSegments("/a/b/c/./../../g") == "/a/g")
     assert(UrlCanon.removeDotSegments("/../x") == "/x")
   }
+
+  test("RFC 3986 §5.4.1 normal reference-resolution examples") {
+    val base = "http://a/b/c/d;p?q"
+    val vectors = Seq(
+      "g" -> "http://a/b/c/g",
+      "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/",
+      "/g" -> "http://a/g",
+      "//g" -> "http://g",
+      "?y" -> "http://a/b/c/d;p?y",
+      "g?y" -> "http://a/b/c/g?y",
+      ";x" -> "http://a/b/c/;x",
+      "g;x" -> "http://a/b/c/g;x",
+      "" -> "http://a/b/c/d;p?q",
+      "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/",
+      "../" -> "http://a/b/",
+      "../g" -> "http://a/b/g",
+      "../.." -> "http://a/",
+      "../../" -> "http://a/",
+      "../../g" -> "http://a/g")
+    vectors.foreach { case (ref, want) =>
+      assert(UrlCanon.resolve(base, ref).contains(want),
+        s"resolve($base, $ref) = ${UrlCanon.resolve(base, ref)} want $want")
+    }
+  }
+
+  test("RFC 3986 §5.4.2 abnormal reference-resolution examples") {
+    val base = "http://a/b/c/d;p?q"
+    val vectors = Seq(
+      "../../../g" -> "http://a/g",
+      "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g",
+      "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.",
+      ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..",
+      "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g",
+      "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h",
+      "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      "http:g" -> "http:g") // strict parser: 'g' is the opaque part
+    vectors.foreach { case (ref, want) =>
+      assert(UrlCanon.resolve(base, ref).contains(want),
+        s"resolve($base, $ref) = ${UrlCanon.resolve(base, ref)} want $want")
+    }
+  }
 }
