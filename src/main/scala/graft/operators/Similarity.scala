@@ -110,7 +110,10 @@ object Similarity {
       .orderBy("h").limit(nLists).select("unit").collect()
       .map(_.getSeq[Float](0).toArray)
 
-    // one Lloyd refinement pass: assign → mean per cluster (distributed agg)
+    // one Lloyd refinement pass: assign → mean per cluster. The mean is a
+    // typed mapGroups (one pass over primitive arrays) rather than dim-many
+    // avg() columns — a 64-wide aggregate costs seconds of codegen
+    // compilation alone and dominates small inputs.
     val bcSeed = spark.sparkContext.broadcast(seedRows)
     val assignUdf = udf((v: Seq[Float]) => {
       val a = v.toArray
@@ -124,11 +127,22 @@ object Similarity {
       best
     })
     val dim = seedRows.headOption.map(_.length).getOrElse(0)
+    import spark.implicits._
     val refined = unit.withColumn("list", assignUdf(col("unit")))
-      .groupBy("list")
-      .agg(array((0 until dim).map(i => avg(col("unit").getItem(i))): _*).as("centroid"))
+      .select(col("list"), col("unit")).as[(Int, Seq[Float])]
+      .groupByKey(_._1)
+      .mapGroups { (list, it) =>
+        val sum = new Array[Double](dim)
+        var n = 0L
+        it.foreach { case (_, v) =>
+          var i = 0
+          while (i < dim) { sum(i) += v(i); i += 1 }
+          n += 1
+        }
+        (list, sum.map(x => (x / n).toFloat).toSeq)
+      }
       .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat).toArray)
+      .map { case (list, c) => list -> c.toArray }
       .toMap
     val centroids = (0 until nLists).map(i => refined.getOrElse(i, seedRows(i)))
     val bcC = spark.sparkContext.broadcast(centroids.toArray)
