@@ -2,8 +2,9 @@ package graft
 
 import graft.corpus.{CorpusConfig, CorpusGen, CorpusTables}
 import graft.functions.UrlFunctions
-import graft.operators.{CrawlConfig, Dedup, FrontierStep, Multimodal, Politeness, Similarity}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{CrawlConfig, Dedup, FetchMode, FrontierStep, Multimodal, Politeness, Similarity}
+import graft.oracle.OracleSqlGen
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,6 +35,21 @@ object SparkEntry {
     val res = FrontierStep.step(spark, frontier, seen, None, docs, cfg, gen = 0)
     res.discovered.orderBy("url")
   }
+
+  /** Span-shaped media docs derived from the testdata documents table (two
+   * media refs per doc) — q25/q26 input; OracleSqlGen.mediaRefsCte mirrors it. */
+  private def mediaDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id").cast("string").as("doc_id"),
+      array(
+        struct(lit("media").as("kind"), lit("").as("text"),
+          concat(lit("img://"), col("source"), lit("/m"),
+            (col("doc_id") % 7).cast("string")).as("media_ref"),
+          lit(0).as("offset")),
+        struct(lit("media").as("kind"), lit("").as("text"),
+          concat(lit("aud://"), col("source"), lit("/m"),
+            (col("doc_id") % 3).cast("string")).as("media_ref"),
+          lit(1).as("offset"))).as("spans"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- A1: aggregation accounting (groupBy/agg) ---------------------------
@@ -200,21 +216,57 @@ object SparkEntry {
     "q23_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), k = 5, nLists = 8, nProbe = 3)
         .groupBy("vec_id").agg(count(lit(1)).as("n_neighbours"))),
-    // --- crawl: one BSP generation end-to-end (golden-tested vs oracle) -------------------------
-    "q24_crawl_gen1" -> ((s, _) => entry(s)),
-    // --- multimodal: media blob metadata plumbing -------------------------------------------------
-    "q25_media_meta" -> ((s, _) => {
-      val docs = CorpusTables.documents(s, demoCrawlCfg.corpus).toDF()
-      Multimodal.mediaMeta(Multimodal.mediaBlobs(s, docs)).orderBy("doc_id", "media_ref")
+    // --- crawl: one BSP generation end-to-end, testdata-derived corpus so the
+    // DuckDB oracle can recompute it (the Zipf demo corpus stays golden-tested
+    // via GoldenCrawlSpec + `entry`). Exercises the REAL FrontierStep.step:
+    // politeness window, corpus join, span explode, fused
+    // resolve+canonicalize+host UDF, blacklist, bloom-prefiltered anti-join. --
+    "q24_crawl_gen1" -> ((s, dir) => {
+      import s.implicits._
+      val m = col("doc_id")
+      def pageUrl(host: Column, page: Column): Column =
+        concat(lit("http://h"), host.cast("string"), lit(".example/p"), page.cast("string"))
+      def linkSpan(href: Column): Column =
+        struct(lit("link").as("kind"), lit("a").as("text"),
+          href.as("media_ref"), lit(0).as("offset"))
+      val t1 = (m * 7 + 3) % 500; val t2 = (m * 13 + 11) % 500
+      val t3 = (m * 3 + 1) % 500; val t4 = (m * 5 + 2) % 500
+      val t5 = (m * 11 + 7) % 500
+      val docs = t(s, dir, "documents").select(
+        pageUrl(m % 10, m).as("doc_id"),
+        array(
+          struct(lit("text").as("kind"), lit("intro").as("text"),
+            lit("").as("media_ref"), lit(0).as("offset")),
+          linkSpan(pageUrl(t1 % 10, t1)), // absolute, already canonical
+          linkSpan(concat(lit("HTTP://H"), (t2 % 10).cast("string"), // needs canonicalization
+            lit(".EXAMPLE:80/p"), t2.cast("string"), lit("?b=2&a=1#frag"))),
+          linkSpan(concat(lit("/p"), t3.cast("string"))),   // rooted relative
+          linkSpan(concat(lit("../p"), t4.cast("string"))), // dot segments
+          linkSpan(concat(pageUrl(t5 % 10, t5), lit("#s"))), // fragment strip
+          linkSpan(lit("mailto:someone@example.com"))        // non-http ⇒ dropped
+        ).as("spans")).as[graft.model.Document]
+      val seedUrls = (0 until 25).map(i => s"http://h${i % 10}.example/p$i")
+      val frontier = FrontierStep.seedFrontier(s, seedUrls)
+      val seen = frontier.select("url")
+      val sketch = graft.functions.BloomSketch.create(1L << 12, 0.01)
+      seedUrls.foreach(sketch.put)
+      val cfg = CrawlConfig(useRobots = false,
+        filter = graft.core.HostFilter.Blacklist(Seq("h3.example")),
+        fetchMode = FetchMode.CorpusJoin)
+      FrontierStep.step(s, frontier, seen, Some(sketch), docs, cfg, gen = 0)
+        .discovered.orderBy("url")
     }),
+    // --- multimodal: media blob metadata plumbing (testdata-derived blobs) ------------------------
+    "q25_media_meta" -> ((s, dir) =>
+      Multimodal.mediaMeta(Multimodal.mediaBlobs(s, mediaDocs(s, dir)))
+        .orderBy("doc_id", "media_ref")),
     // --- multimodal: batched feature extraction (stubbed decoder, real plumbing) -----------------
-    "q26_media_features" -> ((s, _) => {
-      val docs = CorpusTables.documents(s, demoCrawlCfg.corpus).toDF()
-      Multimodal.extractFeatures(Multimodal.mediaBlobs(s, docs))
+    "q26_media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.mediaBlobs(s, mediaDocs(s, dir)))
         .toDF().select("doc_id", "media_ref", "n_bytes", "width", "height")
-        .orderBy("doc_id", "media_ref")
-    }),
-    // --- dedup: embedding-cosine near-dup pairs (brute force baseline) -----------------------------
+        .orderBy("doc_id", "media_ref")),
+    // --- dedup: embedding-cosine near-dup pairs — EXACT triangular block join
+    // (no cartesian, no per-pair boxing); LSH approximate path spec-tested ----
     "q29_embed_neardup" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings"), threshold = 0.35)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine_r"))
@@ -327,7 +379,20 @@ object SparkEntry {
       """SELECT event_id, 'http://h' || CAST(user_id % 40 AS VARCHAR) ||
         |   '.example/e' || CAST(event_id AS VARCHAR) AS task_url
         | FROM events WHERE event_id % 7 != 0""".stripMargin,
-    // q18-q27: sketch/UDF/crawl/multimodal operators — not ANSI-SQL-expressible;
-    // covered by ScalaTest golden/property suites (driver records rows-only checks)
+    // --- hash/sketch/crawl operators: generated SQL that recomputes the
+    // engine's exact arithmetic (md5-derived hashes, unsigned-64 wraparound,
+    // pinned-order float accumulation) — see graft.oracle.OracleSqlGen -------
+    "q18_minhash_pairs" -> OracleSqlGen.minhashPairsSql(threshold = 0.4),
+    "q19_simhash" -> OracleSqlGen.simhashSql,
+    "q20_lang_id" -> OracleSqlGen.langIdSql,
+    "q21_quality_score" -> OracleSqlGen.qualityScoreSql,
+    "q22_ann_lsh" -> OracleSqlGen.annLshSql(k = 5, bits = 8, tables = 4),
+    "q23_ann_ivf" -> OracleSqlGen.annIvfSql(k = 5, nLists = 8, nProbe = 3),
+    "q24_crawl_gen1" -> OracleSqlGen.crawlGenSql,
+    "q25_media_meta" -> OracleSqlGen.mediaMetaSql,
+    "q26_media_features" -> OracleSqlGen.mediaFeaturesSql,
+    "q27_politeness_cap" -> OracleSqlGen.politenessSql(perHostCap = 5),
+    "q29_embed_neardup" -> OracleSqlGen.embedNearDupSql(threshold = 0.35),
+    "q30_fingerprint" -> OracleSqlGen.fingerprintSql
   )
 }

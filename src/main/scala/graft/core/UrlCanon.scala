@@ -195,7 +195,10 @@ object UrlCanon {
       val port = u.port.filterNot(p => DefaultPorts.get(scheme).contains(p))
       val path0 = if (u.path.isEmpty) "/" else u.path
       val path = upperPercentTriplets(path0)
-      val query = u.query.map(q => upperPercentTriplets(sortQuery(q))).filter(_.nonEmpty)
+      // uppercase %-triplets BEFORE sorting: sorting first is not idempotent
+      // (same-key pairs '%2a' vs '%2B' sort differently before vs after the
+      // case fold, so canonicalize(canonicalize(u)) could re-order them)
+      val query = u.query.map(q => sortQuery(upperPercentTriplets(q))).filter(_.nonEmpty)
       ParsedUrl(scheme, u.userInfo, host, port, path, query, None, None).render
     }
   }

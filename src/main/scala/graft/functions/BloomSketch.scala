@@ -17,9 +17,11 @@ final class BloomSketch(val bits: Array[Long], val numHashes: Int) extends Seria
   private def m: Long = bits.length.toLong * 64L
 
   // 128-bit-ish double hashing from two independent 64-bit string hashes.
-  @inline private def pos(h1: Long, h2: Long, i: Int): Int = {
+  // Positions stay Long end-to-end: geometries past 2^31 bits (expectedItems
+  // ≳ 2.2e8 at fpp 0.01) are legal up to the JVM array ceiling (2^37 bits).
+  @inline private def pos(h1: Long, h2: Long, i: Int): Long = {
     val combined = h1 + i.toLong * h2
-    (Math.floorMod(combined, m)).toInt
+    Math.floorMod(combined, m)
   }
 
   def put(s: String): Unit = {
@@ -28,7 +30,7 @@ final class BloomSketch(val bits: Array[Long], val numHashes: Int) extends Seria
     var i = 0
     while (i < numHashes) {
       val p = pos(h1, h2, i)
-      bits(p >>> 6) |= (1L << (p & 63))
+      bits((p >>> 6).toInt) |= (1L << (p & 63L).toInt)
       i += 1
     }
   }
@@ -39,7 +41,7 @@ final class BloomSketch(val bits: Array[Long], val numHashes: Int) extends Seria
     var i = 0
     while (i < numHashes) {
       val p = pos(h1, h2, i)
-      if ((bits(p >>> 6) & (1L << (p & 63))) == 0L) return false
+      if ((bits((p >>> 6).toInt) & (1L << (p & 63L).toInt)) == 0L) return false
       i += 1
     }
     true
@@ -82,6 +84,10 @@ object BloomSketch {
   def create(expectedItems: Long, fpp: Double): BloomSketch = {
     val n = math.max(1L, expectedItems)
     val mBits = math.max(64L, math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // JVM array ceiling: one sketch maxes out at ~2^37 bits (16 GiB). Past
+    // that, shard (ShardedBloom) instead of growing a single geometry.
+    require(mBits < (1L << 37),
+      s"bloom geometry $mBits bits exceeds single-array ceiling; use ShardedBloom")
     val words = ((mBits + 63) / 64).toInt
     val k = math.max(1, math.round(mBits.toDouble / n * math.log(2)).toInt)
     new BloomSketch(new Array[Long](words), k)

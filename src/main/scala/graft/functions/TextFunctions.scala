@@ -8,6 +8,31 @@ package graft.functions
  */
 object TextFunctions {
 
+  // --- md5-derived 64-bit hashes ----------------------------------------------
+  // The similarity/dedup operators hash via MD5 rather than a custom fold so
+  // the driver's DuckDB oracle can recompute identical signatures in pure SQL
+  // (md5 hex is bit-identical across Spark, DuckDB and MessageDigest).
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 64 bits of md5(s), big-endian — equals parsing the first 16 hex
+   * chars of the digest as an unsigned 64-bit value. */
+  def md5Low64(s: String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** First 60 bits of md5(s) — always non-negative, so a SQL oracle can hold
+   * it in a signed BIGINT (`('0x' || substr(md5(s),1,15))::BIGINT`). */
+  def md5Low60(s: String): Long = md5Low64(s) >>> 4
+
   // --- tokenisation ----------------------------------------------------------
   private val TokenRe = "[A-Za-z0-9]+(?:'[A-Za-z]+)?".r
 
@@ -89,9 +114,11 @@ object TextFunctions {
     else ts.sliding(n).map(_.mkString(" ")).toArray
   }
 
-  /** 64-bit hashes of the n-gram shingle set (deduped). */
+  /** 60-bit md5 hashes of the n-gram shingle set (deduped, sorted). 60 bits
+   * keep the values non-negative ⇒ signed compare == unsigned compare, and
+   * the SQL oracle reproduces them from 15 hex chars of md5. */
   def shingleHashes(text: String, n: Int): Array[Long] =
-    shingles(text, n).iterator.map(BloomSketch.hash(_, 0x5417L)).toArray.distinct.sorted
+    shingles(text, n).iterator.map(md5Low60).toArray.distinct.sorted
 
   /** Exact Jaccard similarity of two shingle-hash SETS (sorted arrays). */
   def jaccard(a: Array[Long], b: Array[Long]): Double = {
@@ -106,20 +133,29 @@ object TextFunctions {
   }
 
   // --- MinHash -----------------------------------------------------------------
+  /** Multiplier/offset of the p-th permutation — fixed, derivation-stable
+   * constants (the SQL oracle inlines their decimal values). */
+  def minhashPerm(p: Int): (Long, Long) =
+    (BloomSketch.hash(s"a$p", 0xabcdL) | 1L, BloomSketch.hash(s"b$p", 0x1234L))
+
+  /** Signature value of an EMPTY shingle set: unsigned max (2^64-1). */
+  val MinhashEmpty: Long = -1L
+
   /** numPerm-wide minhash signature over the shingle-hash set, using the
-   * standard (a*x + b mod p) permutation family with fixed seeds. */
+   * (a*x + b mod 2^64) permutation family with UNSIGNED minimum — Long
+   * overflow IS the mod, and unsigned compare matches the SQL oracle's
+   * UBIGINT arithmetic exactly. */
   def minhashSignature(shingleHs: Array[Long], numPerm: Int): Array[Long] = {
-    val sig = Array.fill(numPerm)(Long.MaxValue)
+    val sig = Array.fill(numPerm)(MinhashEmpty)
     if (shingleHs.isEmpty) return sig
     var p = 0
     while (p < numPerm) {
-      val a = BloomSketch.hash(s"a$p", 0xabcdL) | 1L // odd multiplier
-      val b = BloomSketch.hash(s"b$p", 0x1234L)
+      val (a, b) = minhashPerm(p)
       var i = 0
-      var mn = Long.MaxValue
+      var mn = MinhashEmpty // unsigned max
       while (i < shingleHs.length) {
         val v = a * shingleHs(i) + b
-        if (v < mn) mn = v
+        if (java.lang.Long.compareUnsigned(v, mn) < 0) mn = v
         i += 1
       }
       sig(p) = mn
@@ -140,11 +176,11 @@ object TextFunctions {
   }
 
   // --- SimHash -----------------------------------------------------------------
-  /** 64-bit simhash over token hashes (unweighted). */
+  /** 64-bit simhash over md5 token hashes (unweighted). */
   def simhash(text: String): Long = {
     val counts = new Array[Int](64)
     tokens(text).foreach { t =>
-      val h = BloomSketch.hash(t, 0x51a4L)
+      val h = md5Low64(t)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -180,18 +216,34 @@ object TextFunctions {
     if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
   }
 
+  /** Component i of hyperplane (table, b): md5-derived uniform in [-1, 1).
+   * (u >>> 12) < 2^52 is exactly representable in a double, so the SQL
+   * oracle's `(h >> 12)::DOUBLE / 2^52 - 1` is bit-identical. */
+  def hyperplaneComponent(table: Int, b: Int, i: Int): Double =
+    ((md5Low64(s"hp:$table:$b:$i") >>> 12).toDouble / 4503599627370496.0) - 1.0
+
+  // hyperplane matrices are constants per (table, bits, dim): compute once
+  // per JVM, not once per row
+  private val hpCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+  private def hyperplanes(table: Int, bits: Int, dim: Int): Array[Array[Double]] =
+    hpCache.computeIfAbsent((table, bits, dim), { case (t, nb, d) =>
+      Array.tabulate(nb, d)((b, i) => hyperplaneComponent(t, b, i))
+    })
+
   /** Deterministic random-hyperplane LSH signature (sign bits) — for
-   * bucketed approximate cosine search. */
-  def hyperplaneSignature(v: Array[Float], bits: Int, seed: Long): Long = {
+   * bucketed approximate cosine search. `table` selects an independent
+   * hyperplane family. */
+  def hyperplaneSignature(v: Array[Float], bits: Int, table: Int): Long = {
+    val hp = hyperplanes(table, bits, v.length)
     var out = 0L
     var b = 0
     while (b < bits) {
+      val row = hp(b)
       var s = 0.0
       var i = 0
       while (i < v.length) {
-        // deterministic pseudo-gaussian-ish component in [-1,1)
-        val h = BloomSketch.hash(s"$b:$i", seed)
-        s += v(i).toDouble * ((h >> 11).toDouble / (1L << 52).toDouble)
+        s += v(i).toDouble * row(i)
         i += 1
       }
       if (s >= 0) out |= (1L << b)

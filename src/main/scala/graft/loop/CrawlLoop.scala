@@ -148,8 +148,8 @@ object CrawlLoop {
       def lineage(table: String): String = {
         val dir = java.nio.file.Paths.get(io.genDir(table, gen))
         if (!java.nio.file.Files.isDirectory(dir)) "[]"
-        else {
-          val files = java.nio.file.Files.list(dir).iterator()
+        else scala.util.Using.resource(java.nio.file.Files.list(dir)) { stream =>
+          val files = stream.iterator()
           val out = Seq.newBuilder[String]
           while (files.hasNext) {
             val f = files.next()

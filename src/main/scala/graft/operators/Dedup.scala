@@ -55,19 +55,23 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sigs = minhashSignatures(docs, shingleN, numPerm, bands, textCol, idCol)
     val buckets = sigs
-      .select(col("doc_id"), col("shingle_hashes"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
     // stop-bucket guard: boilerplate bands explode quadratically — cap them
     val sized = buckets.withColumn("bucket_n",
       count(lit(1)).over(Window.partitionBy("band_idx", "band_key")))
       .filter(col("bucket_n") <= maxBucket)
-    val a = sized.select(col("band_idx"), col("band_key"),
-      col("doc_id").as("doc_a"), col("shingle_hashes").as("sh_a"))
-    val b = sized.select(col("band_idx"), col("band_key"),
-      col("doc_id").as("doc_b"), col("shingle_hashes").as("sh_b"))
-    a.join(b, Seq("band_idx", "band_key"))
+    // IDS ONLY through the explode → self-join → pair-dedup shuffles (the
+    // shingle arrays are ~100× the id width; carrying them multiplied every
+    // exchange by the array size). Shingles re-attach once per SURVIVING pair.
+    val a = sized.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = sized.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_b"))
+    val pairs = a.join(b, Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").dropDuplicates("doc_a", "doc_b")
+      .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+    val sh = sigs.select(col("doc_id"), col("shingle_hashes"))
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle_hashes").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle_hashes").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")

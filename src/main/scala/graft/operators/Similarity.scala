@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,12 +15,24 @@ import org.apache.spark.sql.functions._
  *    product runs on primitive arrays in a single UDF, and the per-query
  *    top-k is a rank window AFTER a size-guarded join. At 100 TB you never
  *    run this unblocked — it exists to measure recall of the bucketed paths.
+ *  - `cosinePairs`: EXACT all-pairs ≥ threshold via a triangular BLOCK join:
+ *    vectors are grouped into B blocks; each of the B(B+1)/2 block pairs is
+ *    one task computing its pairs on primitive float arrays (no per-pair row
+ *    boxing, no cartesian shuffle). Work is O(n²/P) per task with O(n·√P)
+ *    replication — the standard distributed exact-similarity-join layout.
+ *  - `lshNearDupPairs`: the APPROXIMATE scale path for high thresholds —
+ *    hyperplane-LSH candidate pairs + exact cosine verify (recall measured
+ *    against `cosinePairs` in DedupSimilaritySpec on planted near-dups).
  *  - `lshTopK`: random-hyperplane signatures; candidates share a signature
  *    band (shuffle on band key), then exact re-rank within candidates.
- *  - `ivfTopK`: IVF — deterministic k-means-lite centroids (hash-sampled
+ *  - `ivfTopK`: IVF — deterministic k-means-lite centroids (md5-ordered
  *    seeds + one Lloyd pass, all distributed), vectors assigned to nearest
  *    centroid list; queries probe the nProbe nearest lists only ⇒ the join
  *    touches ~nProbe/k of the corpus. Centroids are broadcast (k is small).
+ *
+ * Determinism note: every pseudo-random constant (hyperplane components,
+ * seed selection) derives from md5, so the DuckDB oracles in SparkEntry can
+ * recompute identical signatures/assignments in pure SQL.
  */
 object Similarity {
 
@@ -31,8 +43,8 @@ object Similarity {
   })
   private val dotUdf = udf((a: Seq[Float], b: Seq[Float]) =>
     TextFunctions.dot(a.toArray, b.toArray))
-  private val hpSigUdf = udf((v: Seq[Float], bits: Int, seed: Long) =>
-    TextFunctions.hyperplaneSignature(v.toArray, bits, seed))
+  private val hpSigUdf = udf((v: Seq[Float], bits: Int, table: Int) =>
+    TextFunctions.hyperplaneSignature(v.toArray, bits, table))
 
   /** Add a unit-norm copy of the embedding column. */
   def withUnitNorm(df: DataFrame, embCol: String = "embedding",
@@ -59,14 +71,96 @@ object Similarity {
       .select("vec_id", "neighbour_id", "cosine", "rank")
   }
 
-  /** All pairs (a<b) with cosine ≥ threshold — embedding near-dup dedup.
-   * Brute force variant (baseline / small corpora). */
-  def cosinePairs(vectors: DataFrame, threshold: Double,
+  /** All pairs (a<b) with cosine ≥ threshold — EXACT embedding near-dup.
+   *
+   * Triangular block self-join: ids are bucketed into `blocks` groups; the
+   * (i ≤ j) block-pair grid is exploded so each grid cell is one task. The
+   * inner loop runs on primitive float arrays with precomputed norms — no
+   * per-pair Row/Seq boxing (the naive `a.join(b, id_a < id_b)` cartesian
+   * pays an encoder round-trip per PAIR; this pays one per VECTOR per block
+   * replication). Exactness makes it oracle-checkable with brute-force SQL;
+   * scale-out: replication factor is blocks+1 per side ≈ O(n·√P). */
+  def cosinePairs(vectors: DataFrame, threshold: Double, blocks: Int = 16,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val src = vectors.select(col(idCol).cast("long"), col(embCol)).as[(Long, Seq[Float])]
+    val b = math.max(1, blocks)
+    // route each vector to its block, replicate to every (block, otherBlock)
+    // grid row it participates in; grid key = (min, max) so each unordered
+    // block pair materialises exactly once
+    val routed = src.flatMap { case (id, emb) =>
+      val blk = (Math.floorMod(id, b.toLong)).toInt
+      (0 until b).iterator.map { other =>
+        val key = if (blk <= other) blk.toLong * b + other else other.toLong * b + blk
+        (key, blk, id, emb)
+      }
+    }.toDF("grid", "blk", "id", "emb")
+      .repartition(col("grid"))
+    val thr = threshold
+    routed.as[(Long, Int, Long, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (grid, it) =>
+        val lo = (grid / b).toInt
+        val hi = (grid % b).toInt
+        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        it.foreach { case (_, blk, id, emb) =>
+          val a = emb.toArray
+          val row = (id, a, TextFunctions.norm(a))
+          if (blk == lo) left += row
+          if (blk == hi && lo != hi) right += row
+        }
+        val rs = if (lo == hi) left else right
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < left.length) {
+          val (ia, va, na) = left(i)
+          var j = if (lo == hi) i + 1 else 0
+          while (j < rs.length) {
+            val (ib, vb, nb) = rs(j)
+            if (ia != ib && na != 0.0 && nb != 0.0) {
+              val cos = TextFunctions.dot(va, vb) / (na * nb)
+              if (cos >= thr) {
+                if (ia < ib) out += ((ia, ib, cos)) else out += ((ib, ia, cos))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result().iterator
+      }
+      .toDF("id_a", "id_b", "cosine")
+  }
+
+  /** APPROXIMATE near-dup pairs for HIGH thresholds (≥ ~0.8) — hyperplane-LSH
+   * candidates + exact cosine verify. At web scale this is the path: a
+   * τ=0.9 pair agrees on a `bits`-bit signature with prob (1-θ/π)^bits, so
+   * `tables` independent signatures give recall 1-(1-p^bits)^tables while
+   * pruning the quadratic candidate space to hash-bucket collisions.
+   * Precision is exact (every candidate is cosine-verified). */
+  def lshNearDupPairs(vectors: DataFrame, threshold: Double, bits: Int = 8,
+      tables: Int = 16, maxBucket: Int = 1024,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val unit = withUnitNorm(vectors.select(col(idCol), col(embCol)), embCol)
-    val a = unit.select(col(idCol).as("id_a"), col("unit").as("u_a"))
-    val b = unit.select(col(idCol).as("id_b"), col("unit").as("u_b"))
-    a.join(b, col("id_a") < col("id_b"))
+      .select(col(idCol).as("id"), col("unit"))
+    val sigs = (0 until tables).map { t =>
+      unit.select(col("id"), col("unit"),
+        lit(t).as("tbl"), hpSigUdf(col("unit"), lit(bits), lit(t)).as("sig"))
+    }.reduce(_ unionByName _)
+    val sized = sigs.withColumn("bucket_n",
+      count(lit(1)).over(Window.partitionBy("tbl", "sig")))
+      .filter(col("bucket_n") <= maxBucket)
+    // candidate ids only through the join+dedup shuffles; vectors re-attached once
+    val a = sized.select(col("tbl"), col("sig"), col("id").as("id_a"))
+    val bside = sized.select(col("tbl"), col("sig"), col("id").as("id_b"))
+    val pairs = a.join(bside, Seq("tbl", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    pairs
+      .join(unit.select(col("id").as("id_a"), col("unit").as("u_a")), Seq("id_a"))
+      .join(unit.select(col("id").as("id_b"), col("unit").as("u_b")), Seq("id_b"))
       .withColumn("cosine", dotUdf(col("u_a"), col("u_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
@@ -80,7 +174,7 @@ object Similarity {
       .select(col(idCol).as("id"), col("unit"))
     val tablesDf = (0 until tables).map { t =>
       unit.withColumn("band_key",
-        concat_ws(":", lit(t), hpSigUdf(col("unit"), lit(bits), lit(0xbeefL + t))))
+        concat_ws(":", lit(t), hpSigUdf(col("unit"), lit(bits), lit(t))))
     }.reduce(_ unionByName _)
     val a = tablesDf.select(col("band_key"), col("id").as("vec_id"), col("unit").as("q_unit"))
     val b = tablesDf.select(col("band_key"), col("id").as("neighbour_id"), col("unit").as("c_unit"))
@@ -95,90 +189,104 @@ object Similarity {
       .select("vec_id", "neighbour_id", "cosine", "rank")
   }
 
-  /** IVF ANN: deterministic centroids (hash-order sample + one Lloyd pass),
-   * nProbe-list probing, exact re-rank inside probed lists. */
+  /** IVF ANN: deterministic centroids (md5-ordered seed sample + one Lloyd
+   * pass), nProbe-list probing, exact re-rank inside probed lists.
+   * Every tie and every float accumulation order is pinned (seeds by md5 of
+   * id; per-list mean summed in id order) so the result is reproducible by
+   * the SQL oracle. */
   def ivfTopK(vectors: DataFrame, k: Int, nLists: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val spark = vectors.sparkSession
-    val unit = withUnitNorm(vectors.select(col(idCol), col(embCol)), embCol)
-      .select(col(idCol).as("id"), col("unit")).cache()
-
-    // seed centroids: the nLists vectors with smallest hash(id) — deterministic,
-    // distributed (orderBy + limit on a narrow projection)
-    val seedRows = unit
-      .withColumn("h", xxhash64(col("id")))
-      .orderBy("h").limit(nLists).select("unit").collect()
-      .map(_.getSeq[Float](0).toArray)
-
-    // one Lloyd refinement pass: assign → mean per cluster. The mean is a
-    // typed mapGroups (one pass over primitive arrays) rather than dim-many
-    // avg() columns — a 64-wide aggregate costs seconds of codegen
-    // compilation alone and dominates small inputs.
-    val bcSeed = spark.sparkContext.broadcast(seedRows)
-    val assignUdf = udf((v: Seq[Float]) => {
-      val a = v.toArray
-      var best = 0; var bestD = Double.MinValue; var i = 0
-      val cs = bcSeed.value
-      while (i < cs.length) {
-        val d = TextFunctions.dot(a, cs(i))
-        if (d > bestD) { bestD = d; best = i }
-        i += 1
-      }
-      best
-    })
-    val dim = seedRows.headOption.map(_.length).getOrElse(0)
     import spark.implicits._
-    val refined = unit.withColumn("list", assignUdf(col("unit")))
-      .select(col("list"), col("unit")).as[(Int, Seq[Float])]
-      .groupByKey(_._1)
-      .mapGroups { (list, it) =>
-        val sum = new Array[Double](dim)
-        var n = 0L
-        it.foreach { case (_, v) =>
-          var i = 0
-          while (i < dim) { sum(i) += v(i); i += 1 }
-          n += 1
+    val unit = withUnitNorm(vectors.select(col(idCol), col(embCol)), embCol)
+      .select(col(idCol).as("id"), col("unit")).persist()
+    try {
+      // seed centroids: the nLists vectors with smallest md5(id) — deterministic,
+      // distributed (orderBy + limit on a narrow projection), SQL-reproducible
+      val seedRows = unit
+        .withColumn("h", md5(col("id").cast("string")))
+        .orderBy("h").limit(nLists).select("unit").collect()
+        .map(_.getSeq[Float](0).toArray)
+      if (seedRows.isEmpty) // empty input: empty result, same schema
+        return unit.select(col("id").as("vec_id"), col("id").as("neighbour_id"),
+          lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
+      val lists = math.min(nLists, seedRows.length) // can't have more lists than rows
+
+      // one Lloyd refinement pass: assign → mean per cluster. The mean is a
+      // typed mapGroups (one pass over primitive arrays) rather than dim-many
+      // avg() columns — a 64-wide aggregate costs seconds of codegen
+      // compilation alone and dominates small inputs. Rows are summed in id
+      // order (deterministic float accumulation). Group sizes are bounded by
+      // the sampled refine set at scale; here the full set.
+      val bcSeed = spark.sparkContext.broadcast(seedRows)
+      val assignUdf = udf((v: Seq[Float]) => {
+        val a = v.toArray
+        var best = 0; var bestD = Double.MinValue; var i = 0
+        val cs = bcSeed.value
+        while (i < cs.length) {
+          val d = TextFunctions.dot(a, cs(i))
+          if (d > bestD) { bestD = d; best = i }
+          i += 1
         }
-        (list, sum.map(x => (x / n).toFloat).toSeq)
-      }
-      .collect()
-      .map { case (list, c) => list -> c.toArray }
-      .toMap
-    val centroids = (0 until nLists).map(i => refined.getOrElse(i, seedRows(i)))
-    val bcC = spark.sparkContext.broadcast(centroids.toArray)
+        best
+      })
+      val dim = seedRows.head.length
+      val refined = unit.withColumn("list", assignUdf(col("unit")))
+        .select(col("list"), col("id"), col("unit")).as[(Int, Long, Seq[Float])]
+        .groupByKey(_._1)
+        .mapGroups { (list, it) =>
+          val rows = it.toArray.sortBy(_._2) // id order: deterministic fp sum
+          val sum = new Array[Double](dim)
+          rows.foreach { case (_, _, v) =>
+            var i = 0
+            while (i < dim) { sum(i) += v(i); i += 1 }
+          }
+          (list, sum.map(x => (x / rows.length).toFloat).toSeq)
+        }
+        .collect()
+        .map { case (list, c) => list -> c.toArray }
+        .toMap
+      val centroids = (0 until lists).map(i => refined.getOrElse(i, seedRows(i)))
+      val bcC = spark.sparkContext.broadcast(centroids.toArray)
 
-    val assignFinal = udf((v: Seq[Float]) => {
-      val a = v.toArray
-      var best = 0; var bestD = Double.MinValue; var i = 0
-      val cs = bcC.value
-      while (i < cs.length) {
-        val d = TextFunctions.dot(a, cs(i))
-        if (d > bestD) { bestD = d; best = i }
-        i += 1
-      }
-      best
-    })
-    val probeLists = udf((v: Seq[Float], np: Int) => {
-      val a = v.toArray
-      bcC.value.zipWithIndex
-        .map { case (c, i) => (TextFunctions.dot(a, c), i) }
-        .sortBy { case (d, i) => (-d, i) }.take(np).map(_._2)
-    })
+      val assignFinal = udf((v: Seq[Float]) => {
+        val a = v.toArray
+        var best = 0; var bestD = Double.MinValue; var i = 0
+        val cs = bcC.value
+        while (i < cs.length) {
+          val d = TextFunctions.dot(a, cs(i))
+          if (d > bestD) { bestD = d; best = i }
+          i += 1
+        }
+        best
+      })
+      val probeLists = udf((v: Seq[Float], np: Int) => {
+        val a = v.toArray
+        bcC.value.zipWithIndex
+          .map { case (c, i) => (TextFunctions.dot(a, c), i) }
+          .sortBy { case (d, i) => (-d, i) }.take(np).map(_._2)
+      })
 
-    val indexed = unit.withColumn("list", assignFinal(col("unit")))
-    val queries = unit.withColumn("probe", probeLists(col("unit"), lit(nProbe)))
-      .select(col("id").as("vec_id"), col("unit").as("q_unit"),
-        explode(col("probe")).as("list"))
-    val cand = queries.join(
-        indexed.select(col("list"), col("id").as("neighbour_id"), col("unit").as("c_unit")),
-        Seq("list"))
-      .filter(col("vec_id") =!= col("neighbour_id"))
-      .dropDuplicates("vec_id", "neighbour_id")
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cosine").desc, col("neighbour_id").asc)
-    cand.withColumn("cosine", dotUdf(col("q_unit"), col("c_unit")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("vec_id", "neighbour_id", "cosine", "rank")
+      val indexed = unit.withColumn("list", assignFinal(col("unit")))
+      val queries = unit.withColumn("probe", probeLists(col("unit"), lit(nProbe)))
+        .select(col("id").as("vec_id"), col("unit").as("q_unit"),
+          explode(col("probe")).as("list"))
+      val cand = queries.join(
+          indexed.select(col("list"), col("id").as("neighbour_id"), col("unit").as("c_unit")),
+          Seq("list"))
+        .filter(col("vec_id") =!= col("neighbour_id"))
+        .dropDuplicates("vec_id", "neighbour_id")
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cosine").desc, col("neighbour_id").asc)
+      cand.withColumn("cosine", dotUdf(col("q_unit"), col("c_unit")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("vec_id", "neighbour_id", "cosine", "rank")
+    } finally {
+      // the cache earns its keep on the two driver actions above (seed scan +
+      // refine pass); the final plan re-derives `unit` with one narrow UDF
+      // pass instead of pinning executor memory for the caller's lifetime
+      unit.unpersist()
+    }
   }
 }

@@ -24,6 +24,12 @@ final class TableIO(val root: String) {
   private def p(parts: String*): Path = Paths.get(root, parts: _*)
   Files.createDirectories(p("_commits"))
 
+  /** Materialized directory listing — Files.list streams hold an fd until
+   * closed; this runs several times per generation on long crawls. */
+  private def listNames(dir: Path): Seq[String] =
+    scala.util.Using.resource(Files.list(dir))(_.iterator.asScala
+      .map(_.getFileName.toString).toVector)
+
   def genDir(table: String, gen: Int): String = p(table, f"gen=$gen%05d").toString
 
   private def manifest(gen: Int): Path = p("_commits", f"gen_$gen%05d.json")
@@ -38,11 +44,10 @@ final class TableIO(val root: String) {
 
   def committedGens(): Seq[Int] =
     if (!Files.isDirectory(p("_commits"))) Nil
-    else Files.list(p("_commits")).iterator.asScala
-      .map(_.getFileName.toString)
+    else listNames(p("_commits"))
       .collect { case s if s.startsWith("gen_") && s.endsWith(".json") =>
         s.stripPrefix("gen_").stripSuffix(".json").toInt }
-      .toSeq.sorted
+      .sorted
 
   def lastCommittedGen(): Option[Int] = committedGens().lastOption
 
@@ -70,8 +75,7 @@ final class TableIO(val root: String) {
   /** Latest committed compaction of `table` at or below `upToGen`. */
   def lastCompaction(table: String, upToGen: Int): Option[Int] =
     if (!Files.isDirectory(p("_commits"))) None
-    else Files.list(p("_commits")).iterator.asScala
-      .map(_.getFileName.toString)
+    else listNames(p("_commits"))
       .collect { case s if s.startsWith(s"compact_${table}_") && s.endsWith(".json") =>
         s.stripPrefix(s"compact_${table}_").stripSuffix(".json").toInt }
       .filter(_ <= upToGen).maxOption

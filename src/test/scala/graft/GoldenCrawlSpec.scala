@@ -52,7 +52,7 @@ class GoldenCrawlSpec extends AnyFunSuite {
     assert(engineOutcomes.map(_._3).intersect(Set("ok", "err", "reject")).size == 3)
   }
 
-  test("golden crawl with whitelist filter + reject requeue matches oracle") {
+  test("golden crawl with blacklist filter + reject requeue matches oracle") {
     val cfg = CrawlConfig(
       corpus = CorpusConfig(seed = 7L, numHosts = 10, maxPages = 20),
       perHostCap = 2,
@@ -64,6 +64,24 @@ class GoldenCrawlSpec extends AnyFunSuite {
     assert(engineOutcomes == oracle.outcomes.toSet)
     // the blacklist actually bit: no h3/h5 URLs in the seen set
     assert(!engineGen.keySet.exists(u => u.contains("//h3.") || u.contains("//h5.")))
+  }
+
+  test("golden crawl with WHITELIST filter matches oracle (host-less drops)") {
+    // whitelist semantics differ from !blacklist: a host-less URL is ALWAYS
+    // dropped (filter.rs:77-86 returns false when there is no host)
+    val cfg = CrawlConfig(
+      corpus = CorpusConfig(seed = 7L, numHosts = 10, maxPages = 20),
+      perHostCap = 3,
+      filter = graft.core.HostFilter.Whitelist(Seq("h0.", "h1.", "h2.", "h4.")))
+    val seeds = CorpusGen.seeds(cfg.corpus, 2)
+    val (engineGen, engineOutcomes, oracle) = runBoth(cfg, seeds, maxGens = 25)
+    assert(engineGen == oracle.seenGen)
+    assert(engineOutcomes == oracle.outcomes.toSet)
+    // the whitelist actually bit: only whitelisted hosts beyond the seeds
+    val nonSeed = engineGen.collect { case (u, g) if g > 0 => u }
+    assert(nonSeed.nonEmpty)
+    assert(nonSeed.forall(u => Seq("h0.", "h1.", "h2.", "h4.")
+      .exists(graft.core.UrlCanon.hostOf(u).contains)))
   }
 
   test("robots rules are enforced (no /x pages on robots-gated hosts)") {

@@ -94,8 +94,8 @@ class TextFunctionsSpec extends AnyFunSuite {
 
   test("hyperplane signature: deterministic; identical vectors share signature") {
     val v = Array.tabulate(16)(i => (i * 0.1f) - 0.8f)
-    assert(hyperplaneSignature(v, 16, 1L) == hyperplaneSignature(v.clone(), 16, 1L))
-    assert(hyperplaneSignature(v, 16, 1L) != hyperplaneSignature(v, 16, 2L) ||
-      hyperplaneSignature(v, 32, 1L) != hyperplaneSignature(v, 32, 3L))
+    assert(hyperplaneSignature(v, 16, 1) == hyperplaneSignature(v.clone(), 16, 1))
+    assert(hyperplaneSignature(v, 16, 1) != hyperplaneSignature(v, 16, 2) ||
+      hyperplaneSignature(v, 32, 1) != hyperplaneSignature(v, 32, 3))
   }
 }
