@@ -150,6 +150,24 @@ object CorpusGen {
   def pageDoc(cfg: CorpusConfig, h: Int, p: Int): Document =
     Document(pageUrl(h, p), pageSpans(cfg, h, p))
 
+  /** Render page (h,p) as HTML — what the loopback test server serves to the
+   * real HTTP fetcher. The anchor hrefs round-trip verbatim through
+   * Extract.rawHrefs, so an HTTP crawl extracts exactly `pageHrefs`. The
+   * href-less anchor exercises the reference's skip rule (html.rs:97-120). */
+  def pageHtml(cfg: CorpusConfig, h: Int, p: Int): String = {
+    val sb = new StringBuilder(512)
+    sb.append("<html><body><a name=\"top\">no-href anchor</a>")
+    pageSpans(cfg, h, p).foreach { s =>
+      s.kind match {
+        case Span.Text  => sb.append("<p>").append(s.text).append("</p>")
+        case Span.Media => sb.append("<img src=\"").append(s.media_ref).append("\">")
+        case _          => sb.append("<a href=\"").append(s.media_ref)
+                             .append("\">").append(s.text).append("</a>")
+      }
+    }
+    sb.append("</body></html>").toString
+  }
+
   /** Just the raw link hrefs of page (h,p), in link order — identical to
    * the link spans inside `pageSpans` (same linkHref stream) but without
    * materialising text/media spans. This is the Generator-fetch hot path:

@@ -16,6 +16,20 @@ import java.nio.ByteBuffer
 final class BloomSketch(val bits: Array[Long], val numHashes: Int) extends Serializable {
   private def m: Long = bits.length.toLong * 64L
 
+  /** Geometry in bits (for sizing/diagnostics). */
+  def sizeBits: Long = m
+
+  /** Number of set bits — drives the fill-ratio saturation estimate. */
+  def setBitCount: Long = {
+    var i = 0; var n = 0L
+    while (i < bits.length) { n += java.lang.Long.bitCount(bits(i)).toLong; i += 1 }
+    n
+  }
+
+  /** Fraction of bits set. ~0.5 is the designed load; beyond it the FPR
+   * degrades quickly (at 1.0 the sketch prunes nothing). */
+  def fillRatio: Double = setBitCount.toDouble / m
+
   // 128-bit-ish double hashing from two independent 64-bit string hashes.
   // Positions stay Long end-to-end: geometries past 2^31 bits (expectedItems
   // ≳ 2.2e8 at fpp 0.01) are legal up to the JVM array ceiling (2^37 bits).
@@ -93,6 +107,11 @@ object BloomSketch {
     new BloomSketch(new Array[Long](words), k)
   }
 
+  /** Exact geometry (for building delta sketches OR-mergeable with an
+   * existing one — merge requires identical (words, k)). */
+  def createWithGeometry(words: Int, k: Int): BloomSketch =
+    new BloomSketch(new Array[Long](words), k)
+
   def deserialize(bytes: Array[Byte]): BloomSketch = {
     val bb = ByteBuffer.wrap(bytes)
     val k = bb.getInt; val words = bb.getInt
@@ -164,6 +183,10 @@ final class CuckooFilter(val table: Array[Short], val numBuckets: Int) extends S
     }
     false
   }
+
+  /** Deep copy — RDD lineage safety: zipPartitions updates must not mutate
+   * a persisted parent partition's filter in place. */
+  def copyOf: CuckooFilter = new CuckooFilter(table.clone(), numBuckets)
 
   /** Remove one copy of x's fingerprint; true if found. delete∘insert = id. */
   def delete(x: String): Boolean = {

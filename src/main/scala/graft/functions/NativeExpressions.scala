@@ -43,6 +43,37 @@ case class BloomMightContain(child: Expression, sketchBytes: Array[Byte])
     copy(child = newChild)
 }
 
+/**
+ * Sharded-bloom probe over a SPARK BROADCAST — the sketch ships to each
+ * executor ONCE via torrent broadcast; the expression itself (and the stage
+ * task binary) carries only the broadcast HANDLE. Round 1 embedded the
+ * serialized sketch in the plan's reference array, re-shipping it with every
+ * stage — fine at MBs, a per-stage tax at north-scale geometries.
+ */
+case class ShardedBloomProbe(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[ShardedBloom])
+    extends UnaryExpression {
+
+  @transient private lazy val sketch: ShardedBloom = bc.value
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "sharded_bloom_probe"
+
+  override protected def nullSafeEval(v: Any): Any =
+    sketch.mightContain(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("shardedBloomBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val skName = ctx.addMutableState(classOf[ShardedBloom].getName, "shardedBloom",
+      v => s"$v = (${classOf[ShardedBloom].getName}) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $skName.mightContain($c.toString());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShardedBloomProbe =
+    copy(child = newChild)
+}
+
 case class HammingDistance(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -67,6 +98,11 @@ object NativeExpressions {
   /** Column API for the bloom probe. */
   def bloomMightContain(c: Column, sketch: BloomSketch): Column =
     toColumn(BloomMightContain(toExpression(c), sketch.serialize()))
+
+  /** Column API for the broadcast sharded-bloom probe. */
+  def shardedBloomProbe(c: Column,
+      bc: org.apache.spark.broadcast.Broadcast[ShardedBloom]): Column =
+    toColumn(ShardedBloomProbe(toExpression(c), bc))
 
   /** Column API for hamming distance over two 64-bit fingerprints. */
   def hammingDistance(a: Column, b: Column): Column =

@@ -1,12 +1,14 @@
 package graft.loop
 
 import graft.corpus.CorpusTables
-import graft.functions.{BloomSketch, SketchAgg}
+import graft.functions.{ShardedBloom, SketchAgg}
 import graft.model.Document
-import graft.operators.{CrawlConfig, FrontierStep}
+import graft.operators.{CrawlConfig, FrontierStep, SeenPrefilter}
 import graft.plans.TableIO
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Dataset, Observation, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Checkpointed BSP crawl loop (SURVEY.md §3.4, §4.4) — replaces the
@@ -58,6 +60,12 @@ object CrawlLoop {
     val docs: Dataset[Document] = CorpusTables.documents(spark, cfg.corpus)
     import spark.implicits._
 
+    val useSketch = cfg.useBloomPrefilter && cfg.seenSketch != "none"
+    val shardsN = math.max(1, cfg.sketchShards)
+    val perShardExpected = math.max(64L, cfg.bloomExpectedItems / shardsN)
+    def freshSharded(): ShardedBloom =
+      ShardedBloom.create(shardsN, perShardExpected, cfg.bloomFpp)
+
     // --- bootstrap or resume -------------------------------------------------
     var frontierRows: Long = 0L
     val startGen: Int = io.lastCommittedGen() match {
@@ -74,9 +82,11 @@ object CrawlLoop {
         seedDf.write.mode("overwrite").parquet(io.genDir("frontier", 0))
         seedDf.select(col("url"), lit(0).as("gen"))
           .write.mode("overwrite").parquet(io.genDir("seen", 0))
-        val bloom = SketchAgg.buildBloom(
-          seedDf.select("url").as[String], cfg.bloomExpectedItems, cfg.bloomFpp)
-        io.writeBloom(0, bloom.serialize())
+        if (useSketch && cfg.seenSketch == "bloom") {
+          val sharded = SketchAgg.buildShardedBloom(
+            seedDf.select("url").as[String], SketchAgg.geometryOf(freshSharded()))
+          io.writeBloom(0, sharded.serialize())
+        }
         val n = seedDf.count()
         io.commit(0,
           s"""{"gen":0,"kind":"bootstrap","seeds":${seeds.size},"next_frontier_rows":$n}""")
@@ -84,17 +94,70 @@ object CrawlLoop {
         1
     }
 
+    // cuckoo shards live as a persisted RDD for the duration of the run
+    // (incremental zipPartitions inserts/deletes); a resumed run rebuilds
+    // them from the committed seen table — the sketch is derived state.
+    var cuckooShards: Option[RDD[SketchAgg.CuckooShard]] =
+      if (useSketch && cfg.seenSketch == "cuckoo") {
+        val seenSoFar = spark.read.parquet(io.deltaDirs("seen", startGen - 1): _*)
+          .select("url").as[String]
+        val built = SketchAgg.buildCuckooShards(seenSoFar, shardsN, perShardExpected)
+        built.localCheckpoint()
+        built.count()
+        Some(built)
+      } else None
+
+    def advanceCuckoo(urls: Dataset[String], delete: Boolean): Unit =
+      cuckooShards.foreach { rdd =>
+        val updated = SketchAgg.updateCuckooShards(rdd, urls, delete)
+        updated.localCheckpoint()
+        updated.count() // materialize before dropping the parent
+        rdd.unpersist(blocking = false)
+        cuckooShards = Some(updated)
+      }
+
     val stats = Seq.newBuilder[GenStats]
     var gen = startGen
 
     while (gen <= maxGens && frontierRows > 0L) {
       val t0 = System.nanoTime()
       val prevGen = gen - 1
+
+      // --- retro-blacklist retraction (deletion path): purge matching hosts
+      // from the seen table (atomic compaction rewrite) and DELETE them from
+      // the cuckoo sketch; a bloom keeps its stale bits (false positives
+      // only — the exact anti-join rescreens them). Rediscovered URLs are
+      // then re-crawlable with a fresh generation.
+      cfg.retractHosts.get(prevGen).foreach { subs =>
+        val matchHost = udf((u: String) =>
+          subs.exists(graft.core.UrlCanon.hostOfCanonical(u).contains))
+        val allSeen = spark.read.parquet(io.deltaDirs("seen", prevGen): _*)
+        val obsP = Observation()
+        allSeen.filter(!matchHost(col("url")))
+          .repartition(spark.sparkContext.defaultParallelism, col("url"))
+          .observe(obsP, count(lit(1)).as("rows"))
+          .write.mode("overwrite").parquet(io.compactDir("seen", prevGen))
+        io.commitCompaction("seen", prevGen,
+          obsP.get.apply("rows").asInstanceOf[Long])
+        advanceCuckoo(allSeen.filter(matchHost(col("url"))).select("url").as[String],
+          delete = true)
+      }
+
       val frontier = spark.read.parquet(io.genDir("frontier", prevGen))
       val seen = spark.read.parquet(io.deltaDirs("seen", prevGen): _*).select("url")
-      val bloom = io.readBloom(prevGen).map(BloomSketch.deserialize)
+      val prefilter: SeenPrefilter =
+        if (!useSketch) SeenPrefilter.Off
+        else cfg.seenSketch match {
+          case "cuckoo" =>
+            cuckooShards.map(SeenPrefilter.Cuckoo(_)).getOrElse(SeenPrefilter.Off)
+          case _ =>
+            io.readBloom(prevGen)
+              .map(b => SeenPrefilter.Bloom(
+                spark.sparkContext.broadcast(ShardedBloom.deserialize(b))))
+              .getOrElse(SeenPrefilter.Off)
+        }
 
-      val res = FrontierStep.step(spark, frontier, seen, bloom, docs, cfg, prevGen)
+      val res = FrontierStep.step(spark, frontier, seen, prefilter, docs, cfg, prevGen)
 
       // ---- the "fanout exchange" write: discovered computed once, two readers;
       //      all counts observed on the writes themselves (no extra scans)
@@ -117,15 +180,32 @@ object CrawlLoop {
           sum(when(col("outcome") === "reject", 1L).otherwise(0L)).as("reject"))
         .write.mode("overwrite").parquet(io.genDir("outcomes", gen))
 
-      // ---- incremental bloom: delta sketch ∪ cumulative (no seen rescan; the
-      //      discovered set is still persisted from the step)
-      val deltaBloom = SketchAgg.buildBloom(
-        res.discovered.select("url").as[String], cfg.bloomExpectedItems, cfg.bloomFpp)
-      val merged = bloom match {
-        case Some(b) => b.mergeInPlace(deltaBloom)
-        case None => deltaBloom
+      // ---- incremental seen-sketch maintenance (the discovered set is still
+      //      persisted from the step; no seen rescan unless a shard rebuilds)
+      if (useSketch) cfg.seenSketch match {
+        case "cuckoo" =>
+          advanceCuckoo(res.discovered.select("url").as[String], delete = false)
+        case _ =>
+          val cum = io.readBloom(prevGen).map(ShardedBloom.deserialize)
+            .getOrElse(freshSharded())
+          // delta built against the cumulative sketch's CURRENT per-shard
+          // geometry, so it OR-merges even after past per-bucket rebuilds
+          val delta = SketchAgg.buildShardedBloom(
+            res.discovered.select("url").as[String], SketchAgg.geometryOf(cum))
+          val merged = cum.mergeInPlace(delta)
+          // per-bucket growth: saturated shards rebuild alone from their
+          // slice of seen with doubled geometry — the sketch never silently
+          // degrades to all-ones (north_rule partitioned union-merge)
+          val saturated = merged.saturatedShards(cfg.shardFillCap)
+          if (saturated.nonEmpty) {
+            val seenAll = spark.read.parquet(io.deltaDirs("seen", gen): _*)
+              .select("url").as[String]
+            saturated.foreach { i =>
+              merged.shards(i) = SketchAgg.rebuildShard(seenAll, merged, i, cfg.bloomFpp)
+            }
+          }
+          io.writeBloom(gen, merged.serialize())
       }
-      io.writeBloom(gen, merged.serialize())
 
       // ---- metrics + lineage (A1-A3) from the observations
       val nextRows = obsFrontier.get.apply("rows").asInstanceOf[Long]

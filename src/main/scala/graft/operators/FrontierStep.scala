@@ -18,6 +18,12 @@ sealed trait FetchMode extends Serializable
 object FetchMode {
   case object CorpusJoin extends FetchMode
   case object Generator extends FetchMode
+  /** Production path: real sockets via HttpFetcher (one pooled client per
+   * partition), HTML anchor extraction, fused resolve+canonicalize. `rewrite`
+   * maps a task URL to the URL actually fetched (identity in production; the
+   * loopback golden test maps corpus hosts to 127.0.0.1:port). */
+  final case class Http(rewrite: String => String = identity,
+      connectTimeoutMs: Int = 5000, requestTimeoutMs: Int = 20000) extends FetchMode
 }
 
 /** Engine configuration for the BSP crawl loop. */
@@ -32,6 +38,20 @@ final case class CrawlConfig(
     bloomExpectedItems: Long = 1L << 20,
     bloomFpp: Double = 0.01,
     useBloomPrefilter: Boolean = true,
+    /** Seen-sketch flavour: "bloom" (partitioned, union-merged, per-shard
+     * growable), "cuckoo" (deletion-capable, shards probed in place), or
+     * "none" (every candidate takes the exact anti-join). */
+    seenSketch: String = "bloom",
+    /** Hash buckets of the partitioned seen-sketch. */
+    sketchShards: Int = 16,
+    /** Bloom shard fill ratio that triggers a per-bucket rebuild with
+     * doubled geometry (0.5 is the designed load). */
+    shardFillCap: Double = 0.47,
+    /** fetch-generation → host substrings whose seen entries are RETRACTED
+     * at the start of that generation (retro-blacklist purge): removed from
+     * the seen table and deleted from a cuckoo sketch, so rediscovered URLs
+     * become re-crawlable. */
+    retractHosts: Map[Int, Seq[String]] = Map.empty,
     fetchMode: FetchMode = FetchMode.CorpusJoin,
     /** Carry `host` through the global dedup shuffle (true) or re-derive it
      * after dedup by char-scan (false). Carrying is ~15% faster on a single
@@ -88,11 +108,26 @@ object FrontierStep {
       .toDF("url", "host", "priority", "next_fetch", "retry_count", "gen")
   }
 
+  /** Compat overload: a bare bloom sketch (or none) as the prefilter. */
+  def step(
+      spark: SparkSession,
+      frontier: DataFrame,
+      seen: DataFrame,
+      seenBloom: Option[BloomSketch],
+      docs: Dataset[Document],
+      cfg: CrawlConfig,
+      gen: Int): StepResult =
+    step(spark, frontier, seen,
+      seenBloom.map(b => SeenPrefilter.Bloom(
+          spark.sparkContext.broadcast(graft.functions.ShardedBloom.single(b))))
+        .getOrElse(SeenPrefilter.Off),
+      docs, cfg, gen)
+
   def step(
       spark: SparkSession,
       frontier: DataFrame,       // Task schema, all rows at generation g
       seen: DataFrame,           // single column `url`
-      seenBloom: Option[BloomSketch],
+      prefilter: SeenPrefilter,
       docs: Dataset[Document],
       cfg: CrawlConfig,
       gen: Int): StepResult = {
@@ -141,6 +176,41 @@ object FrontierStep {
           .persist()
       case FetchMode.Generator =>
         fetchable.withColumn("outcome", classify(col("url")))
+      case FetchMode.Http(rewrite, cTo, rTo) =>
+        // production shape: fetch + extract + normalise as ONE mapPartitions
+        // (one pooled client per partition, downloader.rs:13-21); the page
+        // body never leaves the partition — only the per-page-deduped
+        // canonical (url, host) pairs and the outcome do. PERSISTED: the
+        // outcomes / links / rejects branches must not re-fetch the network.
+        val rw = rewrite
+        fetchable
+          .select("url", "host", "priority", "next_fetch", "retry_count", "gen")
+          .as[graft.model.Task]
+          .mapPartitions { it =>
+            lazy val client = graft.sources.HttpFetcher.newClient(cTo)
+            it.map { tk =>
+              val r = graft.sources.HttpFetcher.fetchOne(client, rw(tk.url), rTo)
+              val (outcome, links) =
+                if (r.outcome != Outcome.Ok) (r.outcome, Nil)
+                else graft.core.UrlCanon.decodeUtf8(r.body) match {
+                  case None => (Outcome.Err, Nil) // undecodable page ⇒ Parsing error (errors.rs:122-140)
+                  case Some(html) =>
+                    val inPage = new java.util.HashSet[String]()
+                    val ls = graft.core.Extract.rawHrefs(html).iterator.flatMap { href =>
+                      graft.core.UrlCanon.resolveCanonHost(tk.url, href) match {
+                        case Some((u, host)) if inPage.add(u) => Iterator.single((u, host))
+                        case _ => Iterator.empty
+                      }
+                    }.toSeq
+                    (Outcome.Ok, ls)
+                }
+              (tk.url, tk.host, tk.priority, tk.next_fetch, tk.retry_count, tk.gen,
+                outcome, links)
+            }
+          }
+          .toDF("url", "host", "priority", "next_fetch", "retry_count", "gen",
+            "outcome", "links")
+          .persist()
     }
 
     val outcomes = fetched.select(lit(gen).as("gen"), col("url"), col("outcome"),
@@ -190,6 +260,12 @@ object FrontierStep {
             }
           }.toDF("url", "host")
         if (carryHost) pairs else pairs.select("url")
+      case _: FetchMode.Http =>
+        // links already extracted + canonicalized + page-deduped in the fetch pass
+        val pairs = fetched.filter(col("outcome") === Outcome.Ok)
+          .select(explode(col("links")).as("l"))
+          .select(col("l._1").as("url"), col("l._2").as("host"))
+        if (carryHost) pairs else pairs.select("url")
     }
 
     // --- P7: per-generation dedup (map-side partial via AQE + shuffle) -------
@@ -218,16 +294,14 @@ object FrontierStep {
       .filter(!lit(cfg.useRobots) || robotsOk(col("host"), col("url")))
       .observe(obsAllowed, count(lit(1)).as("n"))
 
-    // --- J1: cull_known — bloom-prefiltered exact anti-join -------------------
+    // --- J1: cull_known — sketch-prefiltered exact anti-join ------------------
     // "maybe seen" rows take the exact LEFT ANTI join; "definitely new" rows
-    // skip it (a bloom FP costs a probe, never a URL — SURVEY §7.3).
-    val discoveredUrls = seenBloom match {
-      case Some(sketch) if cfg.useBloomPrefilter =>
-        // native codegen'd probe — stays inside whole-stage codegen, no
-        // per-row boxing (graft.functions.BloomMightContain)
-        val tagged = allowed.withColumn("_maybe",
-          graft.functions.NativeExpressions.bloomMightContain(col("url"), sketch))
-          .persist()
+    // skip it (a sketch FP costs a probe, never a URL — SURVEY §7.3).
+    val discoveredUrls = prefilter match {
+      case SeenPrefilter.Off =>
+        allowed.join(seen, Seq("url"), "left_anti")
+      case pf if cfg.useBloomPrefilter =>
+        val tagged = pf.tag(allowed).persist()
         val definitelyNew = tagged.filter(!col("_maybe")).drop("_maybe")
         val maybeSeen = tagged.filter(col("_maybe")).drop("_maybe")
         definitelyNew.unionByName(

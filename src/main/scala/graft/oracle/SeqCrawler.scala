@@ -44,6 +44,15 @@ object SeqCrawler {
 
     var gen = 0
     while (gen < maxGens && frontier.nonEmpty) {
+      // retro-blacklist retraction: forget matching hosts' seen entries at
+      // the start of this fetch generation (mirrors CrawlLoop's purge +
+      // cuckoo delete); rediscovered URLs re-enter with a fresh generation
+      cfg.retractHosts.get(gen).foreach { subs =>
+        val victims = seenGen.keysIterator
+          .filter(u => subs.exists(UrlCanon.hostOf(u).contains)).toVector
+        victims.foreach(seenGen.remove)
+      }
+
       // O1: per-host priority-queue cap — top-k by (priority, next_fetch, url)
       val (selected, deferred) = {
         val byHost = frontier.groupBy(_.host)

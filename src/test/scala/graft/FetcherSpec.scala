@@ -1,0 +1,75 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.corpus.{CorpusConfig, CorpusGen}
+import graft.model.Outcome
+import graft.sources.HttpFetcher
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.InetSocketAddress
+
+/**
+ * Real-socket tests of the production HTTP fetch path — the re-expression of
+ * the reference's mockito downloader test (worker/src/downloader.rs:54-88)
+ * and of the error-kind → outcome table (worker/src/errors.rs:89-183):
+ * 2xx ⇒ Ok(body), non-2xx ⇒ Err(InvalidPage), connect-refused/unreachable ⇒
+ * Reject(NetworkError), malformed URL ⇒ Err(InvalidUrl).
+ */
+class FetcherSpec extends AnyFunSuite {
+
+  private def withServer(routes: Map[String, (Int, String)])(f: Int => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val (status, body) = routes.getOrElse(ex.getRequestURI.getPath, (404, "not here"))
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try f(server.getAddress.getPort) finally server.stop(0)
+  }
+
+  test("200 returns the body bytes untouched (downloader.rs:54-88)") {
+    withServer(Map("/page" -> (200, "<html>Some Page</html>"))) { port =>
+      val client = HttpFetcher.newClient(2000)
+      val r = HttpFetcher.fetchOne(client, s"http://127.0.0.1:$port/page", 5000)
+      assert(r.outcome == Outcome.Ok)
+      assert(r.status == 200)
+      assert(new String(r.body, "UTF-8") == "<html>Some Page</html>")
+    }
+  }
+
+  test("404 maps to Err(InvalidPage) (errors.rs InvalidPage arm)") {
+    withServer(Map.empty) { port =>
+      val client = HttpFetcher.newClient(2000)
+      val r = HttpFetcher.fetchOne(client, s"http://127.0.0.1:$port/missing", 5000)
+      assert(r.outcome == Outcome.Err)
+      assert(r.error_kind == "InvalidPage")
+      assert(r.status == 404)
+    }
+  }
+
+  test("connect refused maps to Reject(NetworkError) (errors.rs Network arm)") {
+    // port 1 (tcpmux) is never served in this sandbox ⇒ immediate ECONNREFUSED
+    val client = HttpFetcher.newClient(2000)
+    val r = HttpFetcher.fetchOne(client, "http://127.0.0.1:1/x", 5000)
+    assert(r.outcome == Outcome.Reject)
+    assert(r.error_kind == "NetworkError")
+  }
+
+  test("malformed URL maps to Err(InvalidUrl) (errors.rs InvalidUrl arm)") {
+    val client = HttpFetcher.newClient(2000)
+    val r = HttpFetcher.fetchOne(client, "http://[not-a-host/", 5000)
+    assert(r.outcome == Outcome.Err)
+    assert(r.error_kind == "InvalidUrl")
+  }
+
+  test("served corpus HTML round-trips exactly the generator hrefs") {
+    val cfg = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24)
+    for (h <- 0 until 4; p <- 0 until math.min(3, CorpusGen.pageCount(cfg, h))) {
+      val html = CorpusGen.pageHtml(cfg, h, p)
+      assert(graft.core.Extract.rawHrefs(html) == CorpusGen.pageHrefs(cfg, h, p),
+        s"href mismatch on page ($h,$p)")
+    }
+  }
+}

@@ -84,6 +84,46 @@ class GoldenCrawlSpec extends AnyFunSuite {
       .exists(graft.core.UrlCanon.hostOf(u).contains)))
   }
 
+  test("cuckoo seen-sketch mode is crawl-identical to bloom mode and the oracle") {
+    val base = CrawlConfig(corpus = CorpusConfig(seed = 42L, numHosts = 15, maxPages = 30),
+      perHostCap = 3, fetchMode = graft.operators.FetchMode.Generator)
+    val seeds = CorpusGen.seeds(base.corpus, 3)
+    val (genB, outB, _) = runBoth(base, seeds, maxGens = 15)
+    val (genC, outC, oracle) = runBoth(base.copy(seenSketch = "cuckoo"), seeds, maxGens = 15)
+    assert(genC == genB)
+    assert(outC == outB)
+    assert(genC == oracle.seenGen)
+  }
+
+  test("retro-blacklist retraction: purged host URLs become re-crawlable (cuckoo delete path)") {
+    // at fetch-gen 4 every h2. seen entry is forgotten: purged from the seen
+    // table AND deleted from the cuckoo sketch; links still point at h2, so
+    // its URLs are re-discovered and re-fetched with a fresh generation —
+    // the deletion-capable sketch variant doing the job it exists for
+    val cfg = CrawlConfig(
+      corpus = CorpusConfig(seed = 42L, numHosts = 10, maxPages = 24),
+      perHostCap = 3, fetchMode = graft.operators.FetchMode.Generator,
+      seenSketch = "cuckoo",
+      retractHosts = Map(4 -> Seq("h2.")))
+    val seeds = CorpusGen.seeds(cfg.corpus, 3)
+    val (engineGen, engineOutcomes, oracle) = runBoth(cfg, seeds, maxGens = 20)
+    assert(engineGen == oracle.seenGen)
+    assert(engineOutcomes == oracle.outcomes.toSet)
+    // h2 URLs were re-discovered AFTER the retraction generation
+    val h2gens = engineGen.collect { case (u, g) if u.contains("//h2.") => g }
+    assert(h2gens.nonEmpty && h2gens.forall(_ > 4),
+      s"expected all h2 entries rediscovered after gen 4, got ${h2gens.take(5)}")
+    // and at least one h2 URL was FETCHED twice (before and after the purge)
+    val h2Fetches = engineOutcomes.toSeq.filter(_._2.contains("//h2."))
+      .groupBy(_._2).map { case (u, os) => u -> os.map(_._1).toSet }
+    assert(h2Fetches.exists { case (_, gens) => gens.exists(_ <= 4) && gens.exists(_ > 4) },
+      "no h2 URL was re-fetched after retraction")
+    // bloom mode (no deletion; stale bits are FPs only) reaches the same crawl
+    val (genBl, outBl, _) = runBoth(cfg.copy(seenSketch = "bloom"), seeds, maxGens = 20)
+    assert(genBl == engineGen)
+    assert(outBl == engineOutcomes)
+  }
+
   test("robots rules are enforced (no /x pages on robots-gated hosts)") {
     val cfg = CrawlConfig(corpus = CorpusConfig(seed = 42L, numHosts = 15, maxPages = 30))
     val seeds = CorpusGen.seeds(cfg.corpus, 3)
@@ -107,6 +147,55 @@ class GoldenCrawlSpec extends AnyFunSuite {
     assert(genJ == genG)
     assert(outJ == outG)
     assert(genG == oracle.seenGen)
+  }
+
+  test("HTTP fetch mode over real loopback sockets is crawl-identical to Generator") {
+    // the loopback server IS the deterministic corpus: /hN.example/pM serves
+    // pageHtml (200), missing pages 404, and '.unreachable' hosts are
+    // rewritten to a refused port — exercising Ok/Err/Reject over the real
+    // HttpFetcher + HTML extraction path end-to-end
+    val corpus = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      // reconstruct the ORIGINAL url from the raw (undecoded) path + query —
+      // '/h3.example/p5' came from 'http://h3.example/p5' — and classify it
+      // with the same resolver the Generator/CorpusJoin modes use, so a
+      // query-string or %-encoded page 404s identically in all three modes
+      val raw = ex.getRequestURI.getRawPath.stripPrefix("/") +
+        Option(ex.getRequestURI.getRawQuery).map("?" + _).getOrElse("")
+      val (status, body) = CorpusGen.resolvePage(corpus, s"http://$raw") match {
+        case CorpusGen.PageLookup.Found(h, p) => (200, CorpusGen.pageHtml(corpus, h, p))
+        case _ => (404, "gone")
+      }
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    val port = server.getAddress.getPort
+    val rewrite: String => String = { url =>
+      val host = graft.core.UrlCanon.hostOf(url)
+      val path = graft.core.Robots.pathOf(url)
+      if (host.endsWith(".unreachable")) s"http://127.0.0.1:1$path" // refused ⇒ Reject
+      else s"http://127.0.0.1:$port/$host$path"
+    }
+    try {
+      val base = CrawlConfig(corpus = corpus, perHostCap = 3)
+      val seeds = CorpusGen.seeds(corpus, 3)
+      val (genG, outG, _) = runBoth(
+        base.copy(fetchMode = graft.operators.FetchMode.Generator), seeds, maxGens = 12)
+      val (genH, outH, oracle) = runBoth(
+        base.copy(fetchMode = graft.operators.FetchMode.Http(rewrite,
+          connectTimeoutMs = 2000, requestTimeoutMs = 10000)), seeds, maxGens = 12)
+      assert(genH == genG)
+      assert(outH == outG)
+      assert(genH == oracle.seenGen)
+      // all three outcome kinds crossed the real sockets
+      assert(outH.map(_._3).intersect(Set("ok", "err", "reject")).size == 3)
+    } finally server.stop(0)
   }
 
   test("narrow-shuffle variant (host re-derived post-dedup) is crawl-identical") {

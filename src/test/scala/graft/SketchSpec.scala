@@ -57,18 +57,82 @@ class SketchSpec extends AnyFunSuite {
     assert(in.filterNot(_ == victim).forall(cf.contains))
   }
 
-  test("sharded cuckoo: distributed build, no false negatives, delete works") {
+  test("cuckoo shard RDD: distributed build + probe + delete, never collected") {
     val spark = SparkSuite.spark
     import spark.implicits._
+    import graft.functions.SketchAgg
     val in = urls(20000, "sc")
-    val sc = graft.functions.SketchAgg.buildShardedCuckoo(
-      in.toDS(), expectedItems = 20000, shards = 16)
-    assert(in.forall(sc.contains))
-    val victim = in(123)
-    assert(sc.delete(victim))
-    assert(in.filterNot(_ == victim).forall(sc.contains))
-    val fp = urls(20000, "zz").count(sc.contains)
+    val shards = SketchAgg.buildCuckooShards(in.toDS(), numShards = 16,
+      expectedItemsPerShard = 2048)
+    shards.persist()
+    assert(shards.getNumPartitions == 16)
+    // distributed probe: inserted urls all maybe=true (no false negatives)
+    val probedIn = SketchAgg.probeCuckooShards(
+      in.map(u => (u, "h")).toDS(), shards).collect()
+    assert(probedIn.length == in.size)
+    assert(probedIn.forall(_._3), "cuckoo probe lost an inserted url")
+    // FPR on disjoint probes stays low
+    val fp = SketchAgg.probeCuckooShards(
+      urls(20000, "zz").map(u => (u, "h")).toDS(), shards).collect().count(_._3)
     assert(fp < 20000 * 0.02, s"fp=$fp")
+    // distributed delete: victims gone, survivors intact (multiset semantics
+    // ⇒ deleting once-inserted urls cannot evict another url's fingerprint)
+    val victims = in.take(500)
+    val after = SketchAgg.updateCuckooShards(shards, victims.toDS(), delete = true)
+    after.persist()
+    val probedAfter = SketchAgg.probeCuckooShards(
+      in.map(u => (u, "h")).toDS(), shards = after).collect()
+      .map { case (u, _, m) => u -> m }.toMap
+    assert(victims.count(v => probedAfter.getOrElse(v, true)) < victims.size / 10,
+      "deletion left most victims visible")
+    assert(in.drop(500).forall(u => probedAfter.getOrElse(u, false)),
+      "deletion created a false negative on a survivor")
+    // parent shards untouched (RDD immutability: updates copy)
+    val reprobe = SketchAgg.probeCuckooShards(
+      victims.map(u => (u, "h")).toDS(), shards).collect()
+    assert(reprobe.forall(_._3), "updateCuckooShards mutated its parent in place")
+    shards.unpersist(); after.unpersist()
+  }
+
+  test("sharded bloom: distributed build, no false negatives, geometry-true deltas merge") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    import graft.functions.{ShardedBloom, SketchAgg}
+    val base = ShardedBloom.create(8, 1024, 0.01)
+    val a = urls(4000, "sa")
+    val built = SketchAgg.buildShardedBloom(a.toDS(), SketchAgg.geometryOf(base))
+    assert(a.forall(built.mightContain))
+    val b = urls(4000, "sb")
+    val delta = SketchAgg.buildShardedBloom(b.toDS(), SketchAgg.geometryOf(built))
+    val merged = built.mergeInPlace(delta)
+    assert((a ++ b).forall(merged.mightContain))
+    val rt = ShardedBloom.deserialize(merged.serialize())
+    assert((a ++ b).forall(rt.mightContain))
+  }
+
+  test("sharded bloom: saturating shard rebuilds alone with doubled geometry") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    import graft.functions.{ShardedBloom, SketchAgg}
+    // tiny per-shard geometry so 8k urls saturate it far past the fill cap
+    val sb = ShardedBloom.create(4, 64, 0.01)
+    val in = urls(8000, "ov")
+    in.foreach(sb.put)
+    val saturated = sb.saturatedShards(0.47)
+    assert(saturated.nonEmpty, "expected saturation at 2000x design load")
+    assert(in.forall(sb.mightContain)) // degraded (≈all-ones) but never lossy
+    val before = saturated.map(i => sb.shards(i).sizeBits).toVector
+    saturated.foreach { i =>
+      sb.shards(i) = SketchAgg.rebuildShard(in.toDS(), sb, i, fpp = 0.01)
+    }
+    saturated.zipWithIndex.foreach { case (s, j) =>
+      assert(sb.shards(s).sizeBits >= before(j) * 2, "rebuild did not grow geometry")
+    }
+    // invariant survives the rebuild: still no false negatives
+    assert(in.forall(sb.mightContain))
+    // and the rebuilt shards are back under the designed load
+    saturated.foreach(i => assert(sb.shards(i).fillRatio < 0.47,
+      s"shard $i still saturated after count-sized rebuild"))
   }
 
   test("cuckoo: low FPR on disjoint probes") {
