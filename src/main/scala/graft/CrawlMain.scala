@@ -11,18 +11,25 @@ import org.apache.spark.sql.SparkSession
  * ... at two cluster sizes"). Local sandbox: parallelism via SPARK_GRAFT_CPUS.
  *
  * Usage: CrawlMain <workDir> [numHosts] [maxPages] [perHostCap] [maxGens] [seeds] [join|gen]
+ *                  [--whitelist=FILE] [--blacklist=FILE] [--sketch=bloom|cuckoo|none]
+ * Filter-list files: one host substring per line, trimmed, blanks dropped
+ * (reference filter.rs:93-105); an EMPTY file — the reference ships empty
+ * lists, filtering defaults off (main.rs:182-188) — yields NoFilter.
  * Resumable: re-running with the same workDir continues from the last
  * committed generation.
  */
 object CrawlMain {
   def main(args: Array[String]): Unit = {
-    val workDir = if (args.length > 0) args(0) else "/tmp/graft-crawl"
-    val numHosts = if (args.length > 1) args(1).toInt else 200
-    val maxPages = if (args.length > 2) args(2).toInt else 400
-    val perHostCap = if (args.length > 3) args(3).toInt else 5
-    val maxGens = if (args.length > 4) args(4).toInt else 30
-    val nSeeds = if (args.length > 5) args(5).toInt else 5
-    val fetchMode = if (args.length > 6 && args(6) == "gen")
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    def flag(name: String): Option[String] =
+      flags.collectFirst { case f if f.startsWith(s"--$name=") => f.drop(name.length + 3) }
+    val workDir = if (pos.length > 0) pos(0) else "/tmp/graft-crawl"
+    val numHosts = if (pos.length > 1) pos(1).toInt else 200
+    val maxPages = if (pos.length > 2) pos(2).toInt else 400
+    val perHostCap = if (pos.length > 3) pos(3).toInt else 5
+    val maxGens = if (pos.length > 4) pos(4).toInt else 30
+    val nSeeds = if (pos.length > 5) pos(5).toInt else 5
+    val fetchMode = if (pos.length > 6 && pos(6) == "gen")
       graft.operators.FetchMode.Generator else graft.operators.FetchMode.CorpusJoin
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -40,8 +47,21 @@ object CrawlMain {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // S8 filter-list scan: file → trimmed substrings → filter; empty ⇒ NoFilter
+    def loadList(path: String): Seq[String] =
+      graft.core.HostFilter.parseList(
+        spark.read.textFile(path).collect().toSeq) // lists are tiny (filter.rs:93-105)
+    val hostFilter: graft.core.HostFilter =
+      (flag("whitelist").map(loadList), flag("blacklist").map(loadList)) match {
+        case (Some(w), _) if w.nonEmpty => graft.core.HostFilter.Whitelist(w)
+        case (_, Some(b)) if b.nonEmpty => graft.core.HostFilter.Blacklist(b)
+        case _ => graft.core.HostFilter.NoFilter
+      }
+
     val cfg = CrawlConfig(corpus = CorpusConfig(numHosts = numHosts, maxPages = maxPages),
       perHostCap = perHostCap, fetchMode = fetchMode,
+      filter = hostFilter,
+      seenSketch = flag("sketch").getOrElse("bloom"),
       bloomExpectedItems = 1L << 22)
     val io = new TableIO(workDir)
     val t0 = System.nanoTime()

@@ -119,6 +119,12 @@ object CrawlLoop {
     val stats = Seq.newBuilder[GenStats]
     var gen = startGen
 
+    // per-stage wall-time attribution (A2): every action below is labelled;
+    // the listener rows land in the `metrics` table at commit time
+    val stageMetrics = new StageMetrics
+    spark.sparkContext.addSparkListener(stageMetrics)
+    try {
+
     while (gen <= maxGens && frontierRows > 0L) {
       val t0 = System.nanoTime()
       val prevGen = gen - 1
@@ -129,18 +135,20 @@ object CrawlLoop {
       // only — the exact anti-join rescreens them). Rediscovered URLs are
       // then re-crawlable with a fresh generation.
       cfg.retractHosts.get(prevGen).foreach { subs =>
-        val matchHost = udf((u: String) =>
-          subs.exists(graft.core.UrlCanon.hostOfCanonical(u).contains))
-        val allSeen = spark.read.parquet(io.deltaDirs("seen", prevGen): _*)
-        val obsP = Observation()
-        allSeen.filter(!matchHost(col("url")))
-          .repartition(spark.sparkContext.defaultParallelism, col("url"))
-          .observe(obsP, count(lit(1)).as("rows"))
-          .write.mode("overwrite").parquet(io.compactDir("seen", prevGen))
-        io.commitCompaction("seen", prevGen,
-          obsP.get.apply("rows").asInstanceOf[Long])
-        advanceCuckoo(allSeen.filter(matchHost(col("url"))).select("url").as[String],
-          delete = true)
+        stageMetrics.labelled(gen, "retraction") {
+          val matchHost = udf((u: String) =>
+            subs.exists(graft.core.UrlCanon.hostOfCanonical(u).contains))
+          val allSeen = spark.read.parquet(io.deltaDirs("seen", prevGen): _*)
+          val obsP = Observation()
+          allSeen.filter(!matchHost(col("url")))
+            .repartition(spark.sparkContext.defaultParallelism, col("url"))
+            .observe(obsP, count(lit(1)).as("rows"))
+            .write.mode("overwrite").parquet(io.compactDir("seen", prevGen))
+          io.commitCompaction("seen", prevGen,
+            obsP.get.apply("rows").asInstanceOf[Long])
+          advanceCuckoo(allSeen.filter(matchHost(col("url"))).select("url").as[String],
+            delete = true)
+        }
       }
 
       val frontier = spark.read.parquet(io.genDir("frontier", prevGen))
@@ -162,27 +170,36 @@ object CrawlLoop {
       // ---- the "fanout exchange" write: discovered computed once, two readers;
       //      all counts observed on the writes themselves (no extra scans)
       val obsFrontier = Observation()
-      res.nextFrontier.select(taskCols.map(col): _*)
-        .observe(obsFrontier, count(lit(1)).as("rows"))
-        .write.mode("overwrite").parquet(io.genDir("frontier", gen))
+      stageMetrics.labelled(gen, "frontier_write") {
+        // politeness + fetch + extract + normalise + filter + cull all
+        // evaluate inside this action (the reference's per-task pipeline,
+        // worker.rs:68-131) — its Spark stages carry their wall-times
+        res.nextFrontier.select(taskCols.map(col): _*)
+          .observe(obsFrontier, count(lit(1)).as("rows"))
+          .write.mode("overwrite").parquet(io.genDir("frontier", gen))
+      }
 
       val obsSeen = Observation()
-      res.discovered.select(col("url"), lit(gen).as("gen"))
-        .observe(obsSeen, count(lit(1)).as("rows"))
-        .write.mode("overwrite").parquet(io.genDir("seen", gen))
+      stageMetrics.labelled(gen, "seen_write") {
+        res.discovered.select(col("url"), lit(gen).as("gen"))
+          .observe(obsSeen, count(lit(1)).as("rows"))
+          .write.mode("overwrite").parquet(io.genDir("seen", gen))
+      }
 
       val obsOut = Observation()
-      res.outcomes
-        .observe(obsOut,
-          count(lit(1)).as("n"),
-          sum(when(col("outcome") === "ok", 1L).otherwise(0L)).as("ok"),
-          sum(when(col("outcome") === "err", 1L).otherwise(0L)).as("err"),
-          sum(when(col("outcome") === "reject", 1L).otherwise(0L)).as("reject"))
-        .write.mode("overwrite").parquet(io.genDir("outcomes", gen))
+      stageMetrics.labelled(gen, "outcomes_write") {
+        res.outcomes
+          .observe(obsOut,
+            count(lit(1)).as("n"),
+            sum(when(col("outcome") === "ok", 1L).otherwise(0L)).as("ok"),
+            sum(when(col("outcome") === "err", 1L).otherwise(0L)).as("err"),
+            sum(when(col("outcome") === "reject", 1L).otherwise(0L)).as("reject"))
+          .write.mode("overwrite").parquet(io.genDir("outcomes", gen))
+      }
 
       // ---- incremental seen-sketch maintenance (the discovered set is still
       //      persisted from the step; no seen rescan unless a shard rebuilds)
-      if (useSketch) cfg.seenSketch match {
+      if (useSketch) stageMetrics.labelled(gen, "sketch_build") { cfg.seenSketch match {
         case "cuckoo" =>
           advanceCuckoo(res.discovered.select("url").as[String], delete = false)
         case _ =>
@@ -205,7 +222,7 @@ object CrawlLoop {
             }
           }
           io.writeBloom(gen, merged.serialize())
-      }
+      } }
 
       // ---- metrics + lineage (A1-A3) from the observations
       val nextRows = obsFrontier.get.apply("rows").asInstanceOf[Long]
@@ -256,7 +273,7 @@ object CrawlLoop {
       // first, atomic marker second; readers switch only after the marker)
       if (cfg.seenCompactEvery > 0) {
         val segs = io.deltaDirs("seen", gen)
-        if (segs.size >= cfg.seenCompactEvery) {
+        if (segs.size >= cfg.seenCompactEvery) stageMetrics.labelled(gen, "compaction") {
           val obsC = Observation()
           spark.read.parquet(segs: _*)
             .repartition(spark.sparkContext.defaultParallelism, col("url"))
@@ -266,10 +283,21 @@ object CrawlLoop {
         }
       }
 
+      // ---- per-stage timing table (A2): one row per (action, spark stage)
+      // with summed task wall-time, records and shuffle bytes — the
+      // influx_client.rs:60-135 equivalent, as queryable parquet. Written
+      // after the commit fence: metrics are observability, not crawl state
+      // (a crash here loses one generation's timings, never data).
+      val stageRows = stageMetrics.drain(gen)
+      if (stageRows.nonEmpty)
+        spark.createDataFrame(stageRows)
+          .write.mode("overwrite").parquet(io.genDir("metrics", gen))
+
       frontierRows = nextRows
       gen += 1
     }
     RunResult(stats.result(), gen - 1)
+    } finally spark.sparkContext.removeSparkListener(stageMetrics)
   }
 
   /** Final crawl output: the full seen set with the generation each URL was
@@ -278,6 +306,18 @@ object CrawlLoop {
   def seenWithGen(spark: SparkSession, io: TableIO): DataFrame = {
     val last = io.lastCommittedGen().getOrElse(0)
     spark.read.parquet(io.deltaDirs("seen", last): _*).select("url", "gen")
+  }
+
+  /** All per-stage timing rows across committed generations (A2 surface):
+   * (gen, action, stage_id, tasks, task_time_ms, records_read,
+   * shuffle_read_bytes, shuffle_write_bytes). */
+  def stageTimings(spark: SparkSession, io: TableIO): DataFrame = {
+    val dirs = io.committedGens().map(g => io.genDir("metrics", g))
+      .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+    if (dirs.isEmpty) {
+      import spark.implicits._
+      Seq.empty[StageRow].toDF()
+    } else spark.read.parquet(dirs: _*)
   }
 
   /** All outcomes across committed generations. */

@@ -29,6 +29,24 @@ class FilterExtractSpec extends AnyFunSuite {
   test("NoFilter keeps everything (filter.rs:230-259)") {
     Seq("reddit.com", "tv2.dk", "").foreach(h => assert(HostFilter.NoFilter.keep(h)))
   }
+  test("filter-list FILE ingestion: trimmed lines; empty file => NoFilter (filter.rs:93-105)") {
+    val spark = SparkSuite.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-filters")
+    val listFile = dir.resolve("blacklist.txt")
+    java.nio.file.Files.writeString(listFile, " reddit.com \n\n\tdr.dk\t\n")
+    val loaded = HostFilter.parseList(
+      spark.read.textFile(listFile.toString).collect().toSeq)
+    assert(loaded.toSet == Set("reddit.com", "dr.dk"))
+    assert(HostFilter.Blacklist(loaded).keep("www.dr.dk") == false)
+    assert(HostFilter.Blacklist(loaded).keep("example.org"))
+    // the reference SHIPS empty list files and defaults filtering off
+    // (main.rs:182-188): empty file must degrade to the NoFilter default
+    val empty = dir.resolve("whitelist.txt")
+    java.nio.file.Files.writeString(empty, "")
+    assert(HostFilter.parseList(
+      spark.read.textFile(empty.toString).collect().toSeq).isEmpty)
+  }
+
   test("list parsing trims lines (filter.rs:93-105)") {
     assert(HostFilter.parseList(Seq(" reddit.com ", "", "dr.dk\t")) ==
       Seq("reddit.com", "dr.dk"))

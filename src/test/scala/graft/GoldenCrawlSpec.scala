@@ -14,11 +14,15 @@ import java.nio.file.Files
  * the ordering-equivalence of SURVEY.md §7.6. Plus checkpoint resume. */
 class GoldenCrawlSpec extends AnyFunSuite {
 
+  /** TableIO of the most recent runBoth — for post-run table inspection. */
+  private var lastIo: TableIO = _
+
   private def runBoth(cfg: CrawlConfig, seeds: Seq[String], maxGens: Int) = {
     val spark = SparkSuite.spark
     val dir = Files.createTempDirectory("graft-golden").toString
     val io = new TableIO(dir)
     CrawlLoop.run(spark, io, seeds, cfg, maxGens)
+    lastIo = io
     val engineGen = CrawlLoop.seenWithGen(spark, io).collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     val engineOutcomes = CrawlLoop.allOutcomes(spark, io).collect()
@@ -50,6 +54,23 @@ class GoldenCrawlSpec extends AnyFunSuite {
     // sanity: the crawl actually crawled several generations and outcomes vary
     assert(engineGen.values.max >= 3)
     assert(engineOutcomes.map(_._3).intersect(Set("ok", "err", "reject")).size == 3)
+
+    // A2: per-stage timing table — every crawled generation carries rows for
+    // the three writes, each with attributed task wall-time
+    val timings = CrawlLoop.stageTimings(SparkSuite.spark, lastIo).collect()
+      .map(r => (r.getAs[Int]("gen"), r.getAs[String]("action"),
+        r.getAs[Long]("task_time_ms"), r.getAs[Long]("tasks")))
+    assert(timings.nonEmpty, "metrics table empty")
+    val gens = timings.map(_._1).distinct
+    assert(gens.length >= 3, s"stage timings cover too few generations: ${gens.toSeq}")
+    gens.foreach { g =>
+      val actions = timings.filter(_._1 == g).map(_._2).toSet
+      assert(Set("frontier_write", "seen_write", "outcomes_write").subsetOf(actions),
+        s"gen $g missing action timings: $actions")
+    }
+    assert(timings.filter(_._2 == "frontier_write").map(_._3).sum > 0,
+      "frontier_write recorded zero task time")
+    assert(timings.forall(_._4 > 0))
   }
 
   test("golden crawl with blacklist filter + reject requeue matches oracle") {
