@@ -116,6 +116,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("cosinePairs blocked join is EXACT: equals per-pair cosine brute force") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(300)
+    val got = Similarity.cosinePairs(e, threshold = 0.3, blocks = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val want = (for {
+      (ia, va) <- rows; (ib, vb) <- rows
+      if ia < ib
+      c = TextFunctions.cosine(va, vb)
+      if c >= 0.3
+    } yield (ia, ib) -> c).toMap
+    assert(got.keySet == want.keySet,
+      s"missing=${(want.keySet -- got.keySet).take(5)} extra=${(got.keySet -- want.keySet).take(5)}")
+    // bit-exact cosines (same accumulation order) — the oracle relies on this
+    assert(want.forall { case (k, c) => got(k) == c })
+  }
+
+  test("lshNearDupPairs: recall >= 0.95 on planted near-dups at tau=0.9") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(200)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    // plant 60 near-duplicates: tiny gaussian perturbations of existing rows
+    val dups = (0 until 60).map { i =>
+      val src = base(i * 3)
+      (1000L + i, src.map(x => x + 0.02f * rnd.nextGaussian().toFloat).toSeq)
+    }
+    val all = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++ dups
+    val df = all.toSeq.toDF("vec_id", "embedding")
+    val truth = Similarity.cosinePairs(df, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 50, s"planting failed: only ${truth.size} true pairs")
+    val got = Similarity.lshNearDupPairs(df, threshold = 0.9, bits = 8, tables = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact verify ⇒ perfect precision; banding ⇒ near-perfect recall at high τ
+    assert(got.subsetOf(truth), s"false positives: ${(got -- truth).take(3)}")
+    val recall = (got intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.95, s"LSH near-dup recall=$recall")
+  }
+
   test("multimodal: blob count matches media spans; features deterministic; schema real") {
     val docs = graft.corpus.CorpusTables.documents(spark,
       graft.corpus.CorpusConfig(seed = 42L, numHosts = 8, maxPages = 16)).toDF()
