@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
  * ... at two cluster sizes"). Local sandbox: parallelism via SPARK_GRAFT_CPUS.
  *
  * Usage: CrawlMain <workDir> [numHosts] [maxPages] [perHostCap] [maxGens] [seeds] [join|gen]
- *                  [--whitelist=FILE] [--blacklist=FILE] [--sketch=bloom|cuckoo|none]
+ *                  [--whitelist=FILE] [--blacklist=FILE] [--sketch=bloom|cuckoo|none] [--archive]
  * Filter-list files: one host substring per line, trimmed, blanks dropped
  * (reference filter.rs:93-105); an EMPTY file — the reference ships empty
  * lists, filtering defaults off (main.rs:182-188) — yields NoFilter.
@@ -62,6 +62,7 @@ object CrawlMain {
       perHostCap = perHostCap, fetchMode = fetchMode,
       filter = hostFilter,
       seenSketch = flag("sketch").getOrElse("bloom"),
+      archiveFetched = flags.contains("--archive"),
       bloomExpectedItems = 1L << 22)
     val io = new TableIO(workDir)
     val t0 = System.nanoTime()

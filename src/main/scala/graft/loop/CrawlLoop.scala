@@ -197,6 +197,13 @@ object CrawlLoop {
           .write.mode("overwrite").parquet(io.genDir("outcomes", gen))
       }
 
+      // ---- S7 archive (non-default): fetched payloads per generation
+      res.archive.foreach { a =>
+        stageMetrics.labelled(gen, "archive_write") {
+          a.write.mode("overwrite").parquet(io.genDir("archive", gen))
+        }
+      }
+
       // ---- incremental seen-sketch maintenance (the discovered set is still
       //      persisted from the step; no seen rescan unless a shard rebuilds)
       if (useSketch) stageMetrics.labelled(gen, "sketch_build") { cfg.seenSketch match {
@@ -306,6 +313,16 @@ object CrawlLoop {
   def seenWithGen(spark: SparkSession, io: TableIO): DataFrame = {
     val last = io.lastCommittedGen().getOrElse(0)
     spark.read.parquet(io.deltaDirs("seen", last): _*).select("url", "gen")
+  }
+
+  /** All archived fetched payloads across committed generations (S7). */
+  def archivedDocs(spark: SparkSession, io: TableIO): DataFrame = {
+    val dirs = io.committedGens().map(g => io.genDir("archive", g))
+      .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+    if (dirs.isEmpty) {
+      import spark.implicits._
+      Seq.empty[Document].toDF()
+    } else spark.read.parquet(dirs: _*)
   }
 
   /** All per-stage timing rows across committed generations (A2 surface):

@@ -62,7 +62,14 @@ final case class CrawlConfig(
     /** Compact the `seen` delta log whenever it exceeds this many segments
      * (0 = never). Log-structured maintenance: at 10^10 URLs an unbounded
      * delta list would make every anti-join open thousands of directories. */
-    seenCompactEvery: Int = 16
+    seenCompactEvery: Int = 16,
+    /** Archive fetched page payloads (url + span sequence) into a durable
+     * per-generation `archive` table — the reference's non-default archive
+     * path made real (archive/rmq.rs:29-43 publishes payload bytes; the
+     * default Void archive, void.rs:7-11, remains `false`). Supported by the
+     * CorpusJoin and Generator fetch modes; Http mode stays Void (the body
+     * is deliberately dropped inside the fetch partition). */
+    archiveFetched: Boolean = false
 )
 
 /** Output of one BSP generation (SURVEY.md §3.4). All DataFrames are lazy. */
@@ -73,6 +80,8 @@ final case class StepResult(
     discovered: DataFrame,
     /** (gen, url, outcome, error_kind) for every fetch attempted this gen. */
     outcomes: DataFrame,
+    /** Fetched payloads (doc_id, spans) when cfg.archiveFetched (S7). */
+    archive: Option[DataFrame] = None,
     /** Per-stage row counts (A1/A2), populated once an action evaluates the
      * pipeline: extracted links, post-dedup candidates, post-filter allowed.
      * The observations ride the main job — no extra scans. */
@@ -213,6 +222,25 @@ object FrontierStep {
           .persist()
     }
 
+    // --- S7 (non-default): durable archive of fetched payloads ----------------
+    val archive: Option[DataFrame] =
+      if (!cfg.archiveFetched) None
+      else cfg.fetchMode match {
+        case FetchMode.CorpusJoin =>
+          Some(fetched.filter(col("outcome") === Outcome.Ok)
+            .select(col("url").as("doc_id"), col("spans")))
+        case FetchMode.Generator =>
+          Some(fetched.filter(col("outcome") === Outcome.Ok).select("url").as[String]
+            .mapPartitions { it =>
+              it.flatMap(u => CorpusGen.resolvePage(corpusCfg, u) match {
+                case CorpusGen.PageLookup.Found(h, p) =>
+                  Iterator.single(CorpusGen.pageDoc(corpusCfg, h, p))
+                case _ => Iterator.empty
+              })
+            }.toDF())
+        case _: FetchMode.Http => None // stays Void: body dropped in-partition
+      }
+
     val outcomes = fetched.select(lit(gen).as("gen"), col("url"), col("outcome"),
       when(col("outcome") === Outcome.Ok, lit(""))
         .when(col("outcome") === Outcome.Err, lit("InvalidPage"))
@@ -336,7 +364,7 @@ object FrontierStep {
       if (cfg.requeueRejects) newTasks.unionByName(carried).unionByName(rejects)
       else newTasks.unionByName(carried)
 
-    StepResult(nextFrontier, discovered, outcomes,
+    StepResult(nextFrontier, discovered, outcomes, archive,
       Map("links" -> obsLinks, "candidates" -> obsCandidates, "allowed" -> obsAllowed))
   }
 

@@ -95,10 +95,11 @@ object Similarity {
         val key = if (blk <= other) blk.toLong * b + other else other.toLong * b + blk
         (key, blk, id, emb)
       }
-    }.toDF("grid", "blk", "id", "emb")
-      .repartition(col("grid"))
+    }
     val thr = threshold
-    routed.as[(Long, Int, Long, Seq[Float])]
+    // groupByKey supplies the one grid-key shuffle; each grid cell
+    // (unordered block pair) is one task
+    routed
       .groupByKey(_._1)
       .flatMapGroups { (grid, it) =>
         val lo = (grid / b).toInt

@@ -145,6 +145,34 @@ class GoldenCrawlSpec extends AnyFunSuite {
     assert(outBl == engineOutcomes)
   }
 
+  test("archive path (S7): fetched payloads land durably, spans = generator ground truth") {
+    val corpus = CorpusConfig(seed = 42L, numHosts = 10, maxPages = 20)
+    val cfg = CrawlConfig(corpus = corpus, perHostCap = 3, archiveFetched = true)
+    val seeds = CorpusGen.seeds(corpus, 2)
+    val (_, outcomes, _) = runBoth(cfg, seeds, maxGens = 8)
+    val spark = SparkSuite.spark
+    val archived = CrawlLoop.archivedDocs(spark, lastIo)
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(s =>
+          (s.getString(0), s.getString(1), s.getString(2), s.getInt(3)))).toMap
+    val okUrls = outcomes.filter(_._3 == "ok").map(_._2)
+    assert(archived.keySet == okUrls, // every ok fetch archived, nothing else
+      s"missing=${(okUrls -- archived.keySet).take(3)} extra=${(archived.keySet -- okUrls).take(3)}")
+    // per-row span-sequence invariant on the archived payloads
+    archived.foreach { case (url, spans) =>
+      val CorpusGen.PageLookup.Found(h, p) = CorpusGen.resolvePage(corpus, url)
+      val want = CorpusGen.pageSpans(corpus, h, p)
+        .map(s => (s.kind, s.text, s.media_ref, s.offset))
+      assert(spans == want, s"archived spans differ for $url")
+    }
+    // Generator mode archives the identical payloads
+    val (_, _, _) = runBoth(cfg.copy(fetchMode = graft.operators.FetchMode.Generator),
+      seeds, maxGens = 8)
+    val archivedGen = CrawlLoop.archivedDocs(spark, lastIo)
+      .collect().map(r => r.getString(0)).toSet
+    assert(archivedGen == okUrls)
+  }
+
   test("robots rules are enforced (no /x pages on robots-gated hosts)") {
     val cfg = CrawlConfig(corpus = CorpusConfig(seed = 42L, numHosts = 15, maxPages = 30))
     val seeds = CorpusGen.seeds(cfg.corpus, 3)
