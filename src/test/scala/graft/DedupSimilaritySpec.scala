@@ -116,6 +116,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("ivfTopK edge cases: fewer rows than lists; empty input") {
+    val s = spark
+    import s.implicits._
+    val tiny = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    // nLists > rows: list count clamps to the row count instead of indexing
+    // past the seed array (round-1 ArrayIndexOutOfBounds)
+    val out = Similarity.ivfTopK(tiny, k = 2, nLists = 8, nProbe = 8).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.ivfTopK(empty, k = 3, nLists = 4, nProbe = 2).collect().isEmpty)
+  }
+
   test("cosinePairs blocked join is EXACT: equals per-pair cosine brute force") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(300)
     val got = Similarity.cosinePairs(e, threshold = 0.3, blocks = 7).collect()

@@ -259,6 +259,29 @@ class GoldenCrawlSpec extends AnyFunSuite {
     assert(genB == oracle.seenGen)
   }
 
+  test("in-loop bloom saturation triggers per-shard rebuild, crawl unaffected") {
+    // absurdly small designed capacity (16 per shard across 4 shards) so the
+    // crawl's discovered set saturates shards within a few generations —
+    // the loop must rebuild them (count-sized geometry) rather than let the
+    // prefilter silently degrade, and the crawl must stay oracle-identical
+    val cfg = CrawlConfig(
+      corpus = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24),
+      perHostCap = 3, fetchMode = graft.operators.FetchMode.Generator,
+      bloomExpectedItems = 64, sketchShards = 4)
+    val seeds = CorpusGen.seeds(cfg.corpus, 3)
+    val (engineGen, engineOutcomes, oracle) = runBoth(cfg, seeds, maxGens = 15)
+    assert(engineGen == oracle.seenGen)
+    assert(engineOutcomes == oracle.outcomes.toSet)
+    // the final sketch grew: some shard is bigger than the initial geometry
+    // and no shard is saturated
+    val lastGen = lastIo.lastCommittedGen().get
+    val sb = graft.functions.ShardedBloom.deserialize(lastIo.readBloom(lastGen).get)
+    val initialBits = graft.functions.BloomSketch.create(16, 0.01).sizeBits
+    assert(sb.shards.exists(_.sizeBits > initialBits), "no shard ever rebuilt/grew")
+    assert(sb.saturatedShards(0.47).isEmpty,
+      s"saturated shards remain: fills=${sb.shards.map(_.fillRatio).toSeq}")
+  }
+
   test("aggressive seen compaction is invisible to results and to resume") {
     val spark = SparkSuite.spark
     val cfg = CrawlConfig(corpus = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24),
