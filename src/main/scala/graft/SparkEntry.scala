@@ -265,6 +265,15 @@ object SparkEntry {
       Multimodal.extractFeatures(Multimodal.mediaBlobs(s, mediaDocs(s, dir)))
         .toDF().select("doc_id", "media_ref", "n_bytes", "width", "height")
         .orderBy("doc_id", "media_ref")),
+    // --- multimodal: batched resize plumbing (aspect-preserving clamp) ----------------------------
+    "q31_media_resize" -> ((s, dir) =>
+      Multimodal.resizeMedia(Multimodal.mediaBlobs(s, mediaDocs(s, dir)), maxDim = 256)
+        .toDF().orderBy("doc_id", "media_ref")),
+    // --- multimodal: frame/window sampling fan-out (one blob → N frame rows) ----------------------
+    "q32_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.mediaBlobs(s, mediaDocs(s, dir)),
+          everyMs = 40000L, maxFrames = 16)
+        .toDF().orderBy("doc_id", "media_ref", "frame_idx")),
     // --- dedup: embedding-cosine near-dup pairs — EXACT triangular block join
     // (no cartesian, no per-pair boxing); LSH approximate path spec-tested ----
     "q29_embed_neardup" -> ((s, dir) =>
@@ -393,6 +402,8 @@ object SparkEntry {
     "q26_media_features" -> OracleSqlGen.mediaFeaturesSql,
     "q27_politeness_cap" -> OracleSqlGen.politenessSql(perHostCap = 5),
     "q29_embed_neardup" -> OracleSqlGen.embedNearDupSql(threshold = 0.35),
-    "q30_fingerprint" -> OracleSqlGen.fingerprintSql
+    "q30_fingerprint" -> OracleSqlGen.fingerprintSql,
+    "q31_media_resize" -> OracleSqlGen.mediaResizeSql(maxDim = 256),
+    "q32_frame_sample" -> OracleSqlGen.frameSampleSql(everyMs = 40000L, maxFrames = 16)
   )
 }

@@ -91,4 +91,47 @@ object Multimodal {
     blobs.toDF().select(col("doc_id"), col("media_ref"), col("mime"),
       length(col("bytes")).as("n_bytes"),
       md5(col("bytes")).as("content_md5"))
+
+  /** One resized variant per blob. */
+  final case class ResizedMedia(doc_id: String, media_ref: String,
+      width: Int, height: Int, out_w: Int, out_h: Int)
+
+  /** Batched RESIZE plumbing: decode dims, compute the aspect-preserving
+   * target box (longest side clamped to maxDim), and (in a real deployment)
+   * re-encode — the rescale math and batch shape are real, the pixel work is
+   * the same swappable stub as `extractFeatures`. */
+  def resizeMedia(blobs: Dataset[MediaBlob], maxDim: Int = 256): Dataset[ResizedMedia] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      // decoder/encoder init once per partition-batch
+      it.map { b =>
+        val (w, h, _, _) = FakeDecoder.decode(b.mime, b.bytes, 0)
+        val maxSide = math.max(w, h)
+        val scale = if (maxSide <= maxDim) 1.0 else maxDim.toDouble / maxSide
+        ResizedMedia(b.doc_id, b.media_ref, w, h,
+          math.max(1, math.floor(w * scale).toInt),
+          math.max(1, math.floor(h * scale).toInt))
+      }
+    }
+  }
+
+  /** One sampled frame (or audio window) per row. */
+  final case class MediaFrame(doc_id: String, media_ref: String,
+      frame_idx: Int, ts_ms: Long)
+
+  /** Batched FRAME-SAMPLE plumbing: decode duration, emit one row per
+   * sampled timestamp (every `everyMs`, at most `maxFrames`) — the fan-out
+   * shape of video/audio feature pipelines (one blob in → N frame rows out).
+   * Still images have duration 0 ⇒ exactly one frame at t=0. */
+  def frameSample(blobs: Dataset[MediaBlob], everyMs: Long = 40000L,
+      maxFrames: Int = 16): Dataset[MediaFrame] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        val (_, _, durationMs, _) = FakeDecoder.decode(b.mime, b.bytes, 0)
+        val n = math.min(maxFrames.toLong, durationMs / everyMs + 1L).toInt
+        (0 until n).iterator.map(i => MediaFrame(b.doc_id, b.media_ref, i, i * everyMs))
+      }
+    }
+  }
 }

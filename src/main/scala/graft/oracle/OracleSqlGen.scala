@@ -190,6 +190,33 @@ object OracleSqlGen {
        |  CAST(64 + ((h >> 16) % 1024) AS INT) AS height
        |FROM f""".stripMargin
 
+  /** q31: aspect-preserving resize targets (longest side clamped). */
+  def mediaResizeSql(maxDim: Int): String =
+    s"""WITH $mediaRefsCte,
+       |f AS (SELECT doc_id, media_ref, ${fnv64("media_ref")} AS u FROM m),
+       |d AS (SELECT doc_id, media_ref,
+       |    CAST(64 + (u % 1024) AS INT) AS width,
+       |    CAST(64 + ((u >> 16) % 1024) AS INT) AS height FROM f)
+       |SELECT doc_id, media_ref, width, height,
+       |  CAST(greatest(1, floor(width * sc)) AS INT) AS out_w,
+       |  CAST(greatest(1, floor(height * sc)) AS INT) AS out_h
+       |FROM (SELECT *, CASE WHEN greatest(width, height) <= $maxDim THEN 1.0::DOUBLE
+       |  ELSE CAST($maxDim AS DOUBLE) / greatest(width, height) END AS sc FROM d)""".stripMargin
+
+  /** q32: frame sampling fan-out (every `everyMs`, capped, images = 1 frame). */
+  def frameSampleSql(everyMs: Long, maxFrames: Int): String =
+    s"""WITH $mediaRefsCte,
+       |f AS (SELECT doc_id, media_ref,
+       |    CASE WHEN media_ref LIKE 'aud://%'
+       |         THEN CAST((${fnv64("media_ref")} >> 24) % 600000 AS BIGINT)
+       |         ELSE 0 END AS dur
+       |  FROM m),
+       |n AS (SELECT doc_id, media_ref,
+       |    least($maxFrames, dur // $everyMs + 1) AS nf FROM f)
+       |SELECT doc_id, media_ref, CAST(unnest(range(nf)) AS INT) AS frame_idx,
+       |  unnest(range(nf)) * $everyMs AS ts_ms
+       |FROM n""".stripMargin
+
   // --- q24: one BSP crawl generation over the testdata-derived corpus ------------
   /** Mirrors SparkEntry's q24 corpus construction: doc m lives at
    * http://h{m%10}.example/p{m}; its links are 5 deterministic href forms

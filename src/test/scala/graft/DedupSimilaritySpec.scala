@@ -171,6 +171,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.95, s"LSH near-dup recall=$recall")
   }
 
+  test("multimodal resize: aspect ratio preserved, longest side clamped, deterministic") {
+    val docs = graft.corpus.CorpusTables.documents(spark,
+      graft.corpus.CorpusConfig(seed = 42L, numHosts = 8, maxPages = 16)).toDF()
+    val blobs = Multimodal.mediaBlobs(spark, docs)
+    val out = Multimodal.resizeMedia(blobs, maxDim = 256).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(math.max(r.out_w, r.out_h) <= 256 && r.out_w >= 1 && r.out_h >= 1)
+      // aspect preserved within rounding: out_w/out_h ≈ width/height
+      val in = r.width.toDouble / r.height
+      val o = r.out_w.toDouble / r.out_h
+      assert(math.abs(in - o) / in < 0.05, s"aspect drift: $r")
+      if (math.max(r.width, r.height) <= 256)
+        assert(r.out_w == r.width && r.out_h == r.height) // no upscale
+    }
+    assert(Multimodal.resizeMedia(blobs, 256).collect().toSet == out.toSet) // deterministic
+  }
+
+  test("multimodal frame sample: fan-out bounded, dense ts grid, images = 1 frame") {
+    val docs = graft.corpus.CorpusTables.documents(spark,
+      graft.corpus.CorpusConfig(seed = 42L, numHosts = 8, maxPages = 16)).toDF()
+    val blobs = Multimodal.mediaBlobs(spark, docs)
+    val frames = Multimodal.frameSample(blobs, everyMs = 40000L, maxFrames = 16).collect()
+    val byRef = frames.groupBy(r => (r.doc_id, r.media_ref))
+    byRef.foreach { case (_, fs) =>
+      assert(fs.length >= 1 && fs.length <= 16)
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length)) // dense indices
+      fs.foreach(f => assert(f.ts_ms == f.frame_idx * 40000L))
+    }
+    // corpus media are img:// refs ⇒ duration 0 ⇒ exactly one frame each
+    assert(byRef.forall { case ((_, ref), fs) => !ref.startsWith("img://") || fs.length == 1 })
+  }
+
   test("multimodal: blob count matches media spans; features deterministic; schema real") {
     val docs = graft.corpus.CorpusTables.documents(spark,
       graft.corpus.CorpusConfig(seed = 42L, numHosts = 8, maxPages = 16)).toDF()
