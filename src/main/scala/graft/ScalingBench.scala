@@ -39,15 +39,28 @@ object ScalingBench {
       .filter(pmod(xxhash64(col("url")), lit(2000)) === 0)
     val ssDocs = graft.corpus.CorpusTables.documents(spark, ssCorpus) // lazy; unused in Generator mode
 
+    // per-stage evidence: attributed task time + straggler ratio per stage
+    val sm = new graft.loop.StageMetrics
+    spark.sparkContext.addSparkListener(sm)
+
     val t0 = System.nanoTime()
-    val step = FrontierStep.step(spark, megaFrontier, seedSeen, None, ssDocs, ssCfg, 0)
-    val fetched = step.outcomes.count()
-    val discovered = step.discovered.count()
+    val (fetched, discovered) = sm.labelled(0, "steady_state") {
+      val step = FrontierStep.step(spark, megaFrontier, seedSeen, None, ssDocs, ssCfg, 0)
+      (step.outcomes.count(), step.discovered.count())
+    }
     val sec = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500) // listener bus settles
+    val stages = sm.drain(0).map { r =>
+      val mean = if (r.tasks == 0) 0L else r.task_time_ms / r.tasks
+      s"""{"stage":${r.stage_id},"tasks":${r.tasks},"task_time_ms":${r.task_time_ms},""" +
+      s""""max_task_ms":${r.max_task_ms},"straggle":${if (mean == 0) 0.0 else r.max_task_ms.toDouble / mean},""" +
+      s""""shuffle_read_mb":${r.shuffle_read_bytes / 1048576},"shuffle_write_mb":${r.shuffle_write_bytes / 1048576}}"""
+    }.mkString("[", ",", "]")
     println(s"""{"bench":"steady_state_generation","cpus":$cpus,""" +
       s""""fetched":$fetched,"discovered":$discovered,"wall_sec":$sec,""" +
       s""""urls_fetched_per_sec":${fetched / sec},""" +
-      s""""frontier_dedup_per_sec":${discovered / sec}}""")
+      s""""frontier_dedup_per_sec":${discovered / sec},""" +
+      s""""stages":$stages}""")
     spark.stop()
   }
 

@@ -17,16 +17,17 @@ import scala.collection.mutable
  * summed task wall-time, records and shuffle bytes to that label via a
  * SparkListener. One row per (generation, action, spark stage).
  */
-/** One attributed Spark stage of one labelled action of one generation. */
+/** One attributed Spark stage of one labelled action of one generation.
+ * `max_task_ms` vs `task_time_ms / tasks` exposes stragglers directly. */
 final case class StageRow(gen: Int, action: String, stage_id: Int,
-    tasks: Long, task_time_ms: Long, records_read: Long,
+    tasks: Long, task_time_ms: Long, max_task_ms: Long, records_read: Long,
     shuffle_read_bytes: Long, shuffle_write_bytes: Long)
 
 final class StageMetrics extends SparkListener {
 
   // label active at job start → its stage ids
   private val stageLabel = mutable.Map.empty[Int, (Int, String)]
-  private val acc = mutable.Map.empty[(Int, Int, String), (Long, Long, Long, Long, Long)]
+  private val acc = mutable.Map.empty[(Int, Int, String), (Long, Long, Long, Long, Long, Long)]
   @volatile private var current: Option[(Int, String)] = None
 
   /** Label every job submitted while `f` runs. Single-threaded driver loop —
@@ -46,12 +47,14 @@ final class StageMetrics extends SparkListener {
       val m = taskEnd.taskMetrics
       if (m != null) {
         val key = (gen, taskEnd.stageId, action)
-        val (t, ms, rec, sr, sw) = acc.synchronized(acc.getOrElse(key, (0L, 0L, 0L, 0L, 0L)))
-        val next = (t + 1L, ms + m.executorRunTime,
-          rec + m.inputMetrics.recordsRead,
-          sr + m.shuffleReadMetrics.totalBytesRead,
-          sw + m.shuffleWriteMetrics.bytesWritten)
-        acc.synchronized(acc(key) = next)
+        acc.synchronized {
+          val (t, ms, mx, rec, sr, sw) = acc.getOrElse(key, (0L, 0L, 0L, 0L, 0L, 0L))
+          acc(key) = (t + 1L, ms + m.executorRunTime,
+            math.max(mx, m.executorRunTime),
+            rec + m.inputMetrics.recordsRead,
+            sr + m.shuffleReadMetrics.totalBytesRead,
+            sw + m.shuffleWriteMetrics.bytesWritten)
+        }
       }
     }
 
@@ -59,8 +62,8 @@ final class StageMetrics extends SparkListener {
   def drain(gen: Int): Seq[StageRow] = acc.synchronized {
     val keys = acc.keysIterator.filter(_._1 == gen).toVector
     val rows = keys.sortBy(k => (k._3, k._2)).map { k =>
-      val (t, ms, rec, sr, sw) = acc(k)
-      StageRow(k._1, k._3, k._2, t, ms, rec, sr, sw)
+      val (t, ms, mx, rec, sr, sw) = acc(k)
+      StageRow(k._1, k._3, k._2, t, ms, mx, rec, sr, sw)
     }
     keys.foreach(acc.remove)
     rows
