@@ -222,7 +222,13 @@ object CrawlLoop {
           // degrades to all-ones (north_rule partitioned union-merge)
           val saturated = merged.saturatedShards(cfg.shardFillCap)
           if (saturated.nonEmpty) {
-            val seenAll = spark.read.parquet(io.deltaDirs("seen", gen): _*)
+            // the full seen set = committed deltas ≤ prevGen PLUS this
+            // generation's just-written delta (gen's manifest isn't committed
+            // yet, so deltaDirs(gen) would MISS it — a rebuild from that
+            // subset loses this generation's URLs ⇒ sketch false negatives ⇒
+            // duplicate seen entries; caught by the saturation golden test)
+            val seenAll = spark.read.parquet(
+                (io.deltaDirs("seen", prevGen) :+ io.genDir("seen", gen)): _*)
               .select("url").as[String]
             saturated.foreach { i =>
               merged.shards(i) = SketchAgg.rebuildShard(seenAll, merged, i, cfg.bloomFpp)

@@ -11,13 +11,23 @@ import org.apache.spark.sql.functions._
  * per host per generation, chosen by (priority, next_fetch, url) — a
  * deterministic per-host priority queue.
  *
- * Skew handling (SURVEY.md §4.1): a single `Window.partitionBy(host)` puts
- * every row of a hot host in one partition. We therefore run the classic
- * exact two-stage top-k: rank within (host, salt) first — any row ranked
- * > k inside its salt bucket already has ≥ k better same-host rows, so it
- * cannot be in the host's global top-k — then rank the ≤ salt·k survivors
- * per host. The heavy first pass is spread over `salt` partitions per host;
- * the second pass sees at most salt·k rows per host.
+ * Scale design (SURVEY.md §4.1), two layers:
+ *
+ *  1. **Count gate.** On a Zipf frontier most HOSTS are under the cap (the
+ *     long tail) — those rows are all selected and never need ranking. A
+ *     map-side-combinable host count splits the frontier; only over-cap
+ *     hosts' rows enter the sort machinery. The count table is tiny per
+ *     host, so AQE broadcasts it at bench scale and falls back to a hash
+ *     join at cluster scale — either beats sort-shuffling every row.
+ *  2. **Salted two-stage top-k** for the over-cap subset: a single
+ *     `Window.partitionBy(host)` would put every row of a hot host in one
+ *     partition, so rank within (host, salt) first — any row ranked > k
+ *     inside its salt bucket already has ≥ k better same-host rows and
+ *     cannot be in the host's global top-k — then rank the ≤ salt·k
+ *     survivors per host. Exact: equivalent to one per-host top-k.
+ *
+ * Contract: `host` must be non-null (the crawl guarantees it: host-less
+ * URLs are dropped at extraction).
  */
 object Politeness {
 
@@ -26,16 +36,23 @@ object Politeness {
    * per-host top-k by (priority, next_fetch, url). */
   def markTopKPerHost(tasks: DataFrame, k: Int, saltBuckets: Int = 16): DataFrame = {
     val order = Seq(col("priority").asc, col("next_fetch").asc, col("url").asc)
-    val salted = tasks.withColumn("_salt", pmod(xxhash64(col("url")), lit(saltBuckets)))
+    val counts = tasks.groupBy(col("host")).agg(count(lit(1)).as("_hn"))
+    val joined = tasks.join(counts, Seq("host"))
+    // long tail: whole host fits under the cap — selected without ranking
+    val under = joined.filter(col("_hn") <= k)
+      .drop("_hn").withColumn("selected", lit(true))
+    // hot heads: exact two-stage salted top-k
+    val over = joined.filter(col("_hn") > k).drop("_hn")
+    val salted = over.withColumn("_salt", pmod(xxhash64(col("url")), lit(saltBuckets)))
     val w1 = Window.partitionBy(col("host"), col("_salt")).orderBy(order: _*)
     val stage1 = salted.withColumn("_rn1", row_number().over(w1))
-    val w2 = Window.partitionBy(col("host")).orderBy(order: _*)
     // rank only the survivors; losers of stage 1 keep _rn2 = null ⇒ not selected
-    stage1
+    val overMarked = stage1
       .withColumn("_rn2",
         when(col("_rn1") <= k, row_number().over(
           Window.partitionBy(col("host"), col("_rn1") <= k).orderBy(order: _*))))
       .withColumn("selected", col("_rn1") <= k && col("_rn2") <= k)
       .drop("_salt", "_rn1", "_rn2")
+    under.unionByName(overMarked)
   }
 }

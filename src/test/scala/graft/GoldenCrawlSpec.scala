@@ -270,6 +270,13 @@ class GoldenCrawlSpec extends AnyFunSuite {
       bloomExpectedItems = 64, sketchShards = 4)
     val seeds = CorpusGen.seeds(cfg.corpus, 3)
     val (engineGen, engineOutcomes, oracle) = runBoth(cfg, seeds, maxGens = 15)
+    // set semantics survive rebuilds: NO duplicate url across seen deltas
+    // (a rebuild from an incomplete seen slice creates sketch false
+    // negatives ⇒ re-discovery ⇒ duplicate rows — this is the regression
+    // guard for exactly that bug)
+    val seenRows = CrawlLoop.seenWithGen(SparkSuite.spark, lastIo).collect()
+    assert(seenRows.length == seenRows.map(_.getString(0)).distinct.length,
+      "duplicate urls in the seen table — sketch false negative leaked")
     assert(engineGen == oracle.seenGen)
     assert(engineOutcomes == oracle.outcomes.toSet)
     // the final sketch grew: some shard is bigger than the initial geometry

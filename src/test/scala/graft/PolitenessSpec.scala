@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.Politeness
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The politeness operator must be EXACTLY a per-host top-k by
+ * (priority, next_fetch, url), whatever the internal shape (count gate +
+ * salted two-stage) does — compared against a plain Scala reference over a
+ * frontier mixing under-cap, exactly-at-cap and hot hosts. */
+class PolitenessSpec extends AnyFunSuite {
+
+  test("markTopKPerHost == brute-force per-host top-k (mixed under/over-cap)") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val k = 3
+    // host i gets i rows (i = 0..12): under (1,2), exactly k (3), over (4..12)
+    val rows = for {
+      h <- 1 to 12
+      i <- 1 to h
+    } yield (s"http://h$h.example/p$i-${rnd.nextInt(1000)}", s"h$h.example",
+      rnd.nextInt(5), rnd.nextInt(100).toLong)
+    val df = rows.toDF("url", "host", "priority", "next_fetch")
+    val got = Politeness.markTopKPerHost(df, k, saltBuckets = 4).collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[Boolean]("selected"))).toMap
+    assert(got.size == rows.size, "politeness dropped or duplicated rows")
+    val want = rows.groupBy(_._2).flatMap { case (_, ts) =>
+      val sel = ts.sortBy(t => (t._3, t._4, t._1)).take(k).map(_._1).toSet
+      ts.map(t => t._1 -> sel.contains(t._1))
+    }
+    assert(got == want, {
+      val diff = want.collect { case (u, s) if got(u) != s => (u, s, got(u)) }
+      s"selection mismatch: ${diff.take(5)}"
+    })
+  }
+}
