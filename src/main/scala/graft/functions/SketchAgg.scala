@@ -162,6 +162,38 @@ object SketchAgg {
     }
   }
 
+  /** Rebuild TAINTED shards (insert overflow) from the full seen set with
+   * grown capacity — the cuckoo analogue of the bloom per-bucket rebuild:
+   * a tainted shard answers "maybe" for everything (correct, prunes
+   * nothing), so the loop grows it instead of letting the prefilter decay.
+   * Only the tainted ids' urls are routed; healthy shards pass through.
+   * The tiny (id, tainted) metadata is the only thing collected. */
+  def rebuildTaintedCuckoo(shards: RDD[CuckooShard], seenUrls: Dataset[String],
+      growFactor: Int = 2): RDD[CuckooShard] = {
+    val n = shards.getNumPartitions
+    val taintedIds = shards.filter(_.tainted).map(_.id).collect().toSet
+    if (taintedIds.isEmpty) shards
+    else {
+      val routed = seenUrls.rdd
+        .keyBy(routeOf(_, n))
+        .filter { case (sid, _) => taintedIds(sid) }
+        .partitionBy(new HashPartitioner(n))
+      shards.zipPartitions(routed, preservesPartitioning = true) { (sit, uit) =>
+        sit.map { s =>
+          if (!s.tainted) s
+          else {
+            // grown design capacity ≈ slots × load-factor × growFactor
+            val cap = (s.filter.table.length.toLong * 0.84 * growFactor).toLong
+            val nf = CuckooFilter.create(math.max(64L, cap))
+            var tainted = false
+            uit.foreach { case (_, u) => if (u != null && !nf.insert(u)) tainted = true }
+            CuckooShard(s.id, nf, tainted)
+          }
+        }
+      }
+    }
+  }
+
   /** Tag (url, host) rows with `_maybe` by routing them to their shard —
    * the distributed probe: no filter ever leaves its partition. Tainted or
    * missing shards answer maybe=true (conservative: costs probes, never

@@ -209,6 +209,21 @@ object CrawlLoop {
       if (useSketch) stageMetrics.labelled(gen, "sketch_build") { cfg.seenSketch match {
         case "cuckoo" =>
           advanceCuckoo(res.discovered.select("url").as[String], delete = false)
+          // grow any shard whose kick loop overflowed (it answers "maybe"
+          // for everything until rebuilt). Seen = committed deltas + the
+          // in-flight one (same completeness rule as the bloom rebuild).
+          cuckooShards.foreach { rdd =>
+            val rebuilt = SketchAgg.rebuildTaintedCuckoo(rdd,
+              spark.read.parquet(
+                (io.deltaDirs("seen", prevGen) :+ io.genDir("seen", gen)): _*)
+                .select("url").as[String])
+            if (rebuilt ne rdd) {
+              rebuilt.localCheckpoint()
+              rebuilt.count()
+              rdd.unpersist(blocking = false)
+              cuckooShards = Some(rebuilt)
+            }
+          }
         case _ =>
           val cum = io.readBloom(prevGen).map(ShardedBloom.deserialize)
             .getOrElse(freshSharded())

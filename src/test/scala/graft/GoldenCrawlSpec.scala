@@ -116,6 +116,23 @@ class GoldenCrawlSpec extends AnyFunSuite {
     assert(genC == oracle.seenGen)
   }
 
+  test("cuckoo under overflow: taint + in-loop rebuild keep the crawl exact") {
+    // designed capacity far below the crawl's seen set ⇒ shards overflow,
+    // get tainted (answer maybe), and the loop's rebuild grows them — the
+    // crawl must stay oracle-identical and the seen table duplicate-free
+    val cfg = CrawlConfig(
+      corpus = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24),
+      perHostCap = 3, fetchMode = graft.operators.FetchMode.Generator,
+      seenSketch = "cuckoo", bloomExpectedItems = 64, sketchShards = 4)
+    val seeds = CorpusGen.seeds(cfg.corpus, 3)
+    val (engineGen, engineOutcomes, oracle) = runBoth(cfg, seeds, maxGens = 15)
+    val seenRows = CrawlLoop.seenWithGen(SparkSuite.spark, lastIo).collect()
+    assert(seenRows.length == seenRows.map(_.getString(0)).distinct.length,
+      "duplicate urls in seen — cuckoo taint/rebuild leaked a false negative")
+    assert(engineGen == oracle.seenGen)
+    assert(engineOutcomes == oracle.outcomes.toSet)
+  }
+
   test("retro-blacklist retraction: purged host URLs become re-crawlable (cuckoo delete path)") {
     // at fetch-gen 4 every h2. seen entry is forgotten: purged from the seen
     // table AND deleted from the cuckoo sketch; links still point at h2, so

@@ -94,6 +94,40 @@ class SketchSpec extends AnyFunSuite {
     shards.unpersist(); after.unpersist()
   }
 
+  test("cuckoo taint + rebuild: overflow answers maybe-all, rebuild grows and recovers") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    import graft.functions.SketchAgg
+    val in = urls(4000, "tc")
+    // 4000 urls into 4 shards of ~128 slots each ⇒ every shard overflows
+    val shards = SketchAgg.buildCuckooShards(in.toDS(), numShards = 4,
+      expectedItemsPerShard = 64)
+    shards.persist()
+    assert(shards.filter(_.tainted).count() == 4, "expected all shards tainted")
+    // tainted ⇒ conservative: EVERYTHING is maybe (no pruning, no loss)
+    val probed = SketchAgg.probeCuckooShards(
+      urls(1000, "zz").map(u => (u, "h")).toDS(), shards).collect()
+    assert(probed.forall(_._3), "tainted shard must answer maybe")
+    // rebuild from the full set with grown capacity until healthy
+    var cur = shards
+    var rounds = 0
+    while (cur.filter(_.tainted).count() > 0 && rounds < 8) {
+      val next = SketchAgg.rebuildTaintedCuckoo(cur, in.toDS())
+      next.persist(); next.count(); cur.unpersist()
+      cur = next
+      rounds += 1
+    }
+    assert(cur.filter(_.tainted).count() == 0, s"still tainted after $rounds rebuilds")
+    // recovered: no false negatives, real pruning again
+    val probedIn = SketchAgg.probeCuckooShards(
+      in.map(u => (u, "h")).toDS(), cur).collect()
+    assert(probedIn.forall(_._3))
+    val fp = SketchAgg.probeCuckooShards(
+      urls(4000, "zz").map(u => (u, "h")).toDS(), cur).collect().count(_._3)
+    assert(fp < 4000 * 0.02, s"fp=$fp after rebuild")
+    cur.unpersist()
+  }
+
   test("sharded bloom: distributed build, no false negatives, geometry-true deltas merge") {
     val spark = SparkSuite.spark
     import spark.implicits._
