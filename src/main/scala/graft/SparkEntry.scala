@@ -284,6 +284,10 @@ object SparkEntry {
     "q30_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         Dedup.fingerprintCol(col("text")).as("fingerprint"))),
+    // --- dedup: TRANSITIVE near-dup clusters — distributed min-label propagation ------------------
+    "q33_minhash_cc" -> ((s, dir) =>
+      Dedup.minhashClusters(t(s, dir, "documents"), threshold = 0.4, shingleN = 2)
+        .orderBy("doc_id")),
     // --- S4: task serde — binary payload → UTF-8 decode → URL parse; invalid ⇒ dropped -------------
     "q28_task_serde" -> ((s, dir) => {
       val wire = t(s, dir, "events").select(col("event_id"), col("user_id"),
@@ -404,6 +408,7 @@ object SparkEntry {
     "q29_embed_neardup" -> OracleSqlGen.embedNearDupSql(threshold = 0.35),
     "q30_fingerprint" -> OracleSqlGen.fingerprintSql,
     "q31_media_resize" -> OracleSqlGen.mediaResizeSql(maxDim = 256),
-    "q32_frame_sample" -> OracleSqlGen.frameSampleSql(everyMs = 40000L, maxFrames = 16)
+    "q32_frame_sample" -> OracleSqlGen.frameSampleSql(everyMs = 40000L, maxFrames = 16),
+    "q33_minhash_cc" -> OracleSqlGen.minhashClustersSql(threshold = 0.4)
   )
 }

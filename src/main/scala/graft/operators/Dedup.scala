@@ -78,13 +78,64 @@ object Dedup {
   }
 
   /** Survivors after minhash near-dup clustering: greedy keep-smallest —
-   * drop any doc that pairs with a smaller-id near-duplicate. (Connected-
-   * component clustering would need iterative joins; keep-smallest-neighbour
-   * is the standard one-pass approximation.) */
+   * drop any doc that pairs with a smaller-id near-duplicate. One pass, no
+   * iteration — keeps every LOCAL minimum of the similarity graph, so a
+   * chain b≈c with ids (2,3,1) keeps both 1 and 2. For one survivor per
+   * TRANSITIVE cluster use `minhashDedupCC`. */
   def minhashDedup(docs: DataFrame, threshold: Double = 0.8, shingleN: Int = 3,
       idCol: String = "doc_id"): DataFrame = {
     val pairs = minhashPairs(docs, threshold, shingleN, idCol = idCol)
     docs.join(pairs.select(col("doc_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+  }
+
+  /** Connected components over a (doc_a, doc_b) pair graph: min-label
+   * propagation — each round every node adopts the smallest label among
+   * itself and its neighbours; converges in O(component diameter) rounds
+   * (near-dup clusters are shallow). Each round is one join + one
+   * aggregate; intermediate labels are persisted and released. Returns
+   * (node, cluster = min id of its component), nodes = pair endpoints. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    try {
+      var changed = 1L
+      var i = 0
+      while (changed > 0 && i < maxIter) {
+        val viaNeighbours = edges
+          .join(labels, edges("src") === labels("node"))
+          .select(col("dst").as("node"), col("label"))
+        val next = labels.unionByName(viaNeighbours)
+          .groupBy("node").agg(min("label").as("label")).persist()
+        changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+          .filter(col("label") =!= col("prev")).count()
+        labels.unpersist()
+        labels = next
+        i += 1
+      }
+      labels
+    } finally edges.unpersist()
+  }
+
+  /** (doc_id, cluster) for EVERY doc — transitive near-dup cluster id
+   * (singletons cluster with themselves). */
+  def minhashClusters(docs: DataFrame, threshold: Double = 0.8, shingleN: Int = 3,
+      idCol: String = "doc_id"): DataFrame = {
+    val pairs = minhashPairs(docs, threshold, shingleN, idCol = idCol)
+    val labels = connectedComponents(pairs)
+    docs.select(col(idCol).as("doc_id"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
+  }
+
+  /** One survivor per TRANSITIVE near-dup cluster: the minimum doc id. */
+  def minhashDedupCC(docs: DataFrame, threshold: Double = 0.8, shingleN: Int = 3,
+      idCol: String = "doc_id"): DataFrame = {
+    val clusters = minhashClusters(docs, threshold, shingleN, idCol)
+      .filter(col("doc_id") === col("cluster")).select("doc_id")
+    docs.join(clusters.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi")
   }
 
   private val simhashUdf = udf((t: String) => TextFunctions.simhash(t))

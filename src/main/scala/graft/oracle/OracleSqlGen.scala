@@ -69,7 +69,27 @@ object OracleSqlGen {
 
   // --- q18: MinHash-LSH near-dup pairs -----------------------------------------
   def minhashPairsSql(threshold: Double, numPerm: Int = 64, bands: Int = 16,
-      maxBucket: Int = 64): String = {
+      maxBucket: Int = 64): String =
+    s"""WITH ${minhashPairsCtes(threshold, numPerm, bands, maxBucket)}
+       |SELECT doc_a, doc_b, round(j, 4) AS jaccard_r FROM pr""".stripMargin
+
+  // --- q33: connected components over the near-dup pair graph -------------------
+  /** Min-reachable-id per node via a recursive CTE (UNION mode dedups, so it
+   * terminates); every doc is seeded as its own singleton. */
+  def minhashClustersSql(threshold: Double, numPerm: Int = 64, bands: Int = 16,
+      maxBucket: Int = 64): String =
+    s"""WITH RECURSIVE ${minhashPairsCtes(threshold, numPerm, bands, maxBucket)},
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pr),
+       |reach(node, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+       |SELECT node AS doc_id, min(label) AS cluster FROM reach GROUP BY node""".stripMargin
+
+  /** Shared CTE chain ending in `pr(doc_a, doc_b, j)` — verified pairs. */
+  private def minhashPairsCtes(threshold: Double, numPerm: Int, bands: Int,
+      maxBucket: Int): String = {
     val r = numPerm / bands
     val mins = (0 until numPerm).map { p =>
       val (a, b) = TextFunctions.minhashPerm(p)
@@ -86,7 +106,7 @@ object OracleSqlGen {
     val bandIdxList = (0 until bands).mkString("[", ",", "]")
     val bandKeyList = bandKeys.mkString("[", ", ", "]")
     // shingleN = 2 word bigrams, md5Low60 per shingle, distinct set
-    s"""WITH tkn AS (SELECT doc_id, ${toks("text")} AS tk FROM documents),
+    s"""tkn AS (SELECT doc_id, ${toks("text")} AS tk FROM documents),
        |sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(
        |    CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
        |         WHEN len(tk) = 1 THEN [tk[1]]
@@ -109,8 +129,8 @@ object OracleSqlGen {
        |         WHEN len(sa.shs) = 0 OR len(sb.shs) = 0 THEN 0.0::DOUBLE
        |         ELSE len(list_intersect(sa.shs, sb.shs))::DOUBLE
        |              / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) END AS j
-       |  FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
-       |SELECT doc_a, doc_b, round(j, 4) AS jaccard_r FROM jac WHERE j >= $threshold""".stripMargin
+       |  FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b),
+       |pr AS (SELECT doc_a, doc_b, j FROM jac WHERE j >= $threshold)""".stripMargin
   }
 
   // --- q20: language-ID heuristic ----------------------------------------------

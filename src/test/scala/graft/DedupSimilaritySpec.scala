@@ -53,6 +53,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept.contains(0L) && kept.contains(3L) && kept.contains(5L))
   }
 
+  test("connectedComponents: transitive clusters get ONE min label (beats keep-smallest)") {
+    val s = spark
+    import s.implicits._
+    // chain 2≈3≈1 with ids ordered so keep-smallest keeps TWO locals (1 and
+    // 2) but the true component minimum is 1 — plus an isolated pair (7,9)
+    val pairs = Seq((2L, 3L), (1L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("minhashDedupCC keeps exactly one survivor per transitive cluster") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val mid = base.replace("lazy dog", "sleepy cat")         // ≈ base
+    val far = mid.replace("quick brown", "slow green")       // ≈ mid, not ≈ base
+    val docs = Seq(
+      (2L, base), (3L, mid), (1L, far), // ids chosen so 3 bridges 2 and 1
+      (10L, "completely unrelated words about spark shuffles and bloom filters here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.45, shingleN = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 3L), (1L, 3L)), s"unexpected pair graph: $pairs")
+    // one-pass keep-smallest keeps both local minima of the chain...
+    val greedy = Dedup.minhashDedup(docs, 0.45, 2).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(greedy == Set(1L, 2L, 10L))
+    // ...CC collapses the whole transitive cluster to its minimum
+    val cc = Dedup.minhashDedupCC(docs, 0.45, 2).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(cc == Set(1L, 10L))
+    val clusters = Dedup.minhashClusters(docs, 0.45, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L))
+  }
+
   test("simhash pairs: finds ALL pairs with hamming<=3 (vs brute force)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
     val got = Dedup.simhashPairs(docs, maxHamming = 3, segments = 4).collect()
