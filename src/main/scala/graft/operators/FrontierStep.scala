@@ -310,17 +310,47 @@ object FrontierStep {
     // --- F2/F3 + robots -------------------------------------------------------
     val hostFilter = cfg.filter
     val keepHost = udf((h: String) => hostFilter.keep(if (h == null) "" else h))
-    val robotsMap: Map[String, Seq[String]] =
-      if (cfg.useRobots) CorpusGen.robotsTable(corpusCfg).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-      else Map.empty
-    val robotsBc = spark.sparkContext.broadcast(robotsMap)
-    val robotsOk = udf((host: String, url: String) =>
-      graft.core.Robots.allowed(robotsBc.value.getOrElse(host, Nil), url))
     val obsAllowed = new org.apache.spark.sql.Observation(s"allowed_g$gen")
-    val allowed = candidatesObs
-      .filter(keepHost(col("host")))
-      .filter(!lit(cfg.useRobots) || robotsOk(col("host"), col("url")))
-      .observe(obsAllowed, count(lit(1)).as("n"))
+    val hostFiltered = candidatesObs.filter(keepHost(col("host")))
+    val robotsFiltered =
+      if (!cfg.useRobots) hostFiltered
+      else cfg.fetchMode match {
+        case FetchMode.Http(rewrite, cTo, rTo) =>
+          // REAL robots: GET http://host/robots.txt once per distinct
+          // candidate host this generation (the host set is tiny vs the
+          // candidate set; a production deployment adds a persistent robots
+          // cache table keyed by host+fetch time). Missing/unreachable
+          // robots ⇒ allow-all (standard lenient behaviour).
+          val rw = rewrite
+          val rules = candidates.select("host").distinct().as[String]
+            .mapPartitions { it =>
+              lazy val client = graft.sources.HttpFetcher.newClient(cTo)
+              it.map { h =>
+                val r = graft.sources.HttpFetcher.fetchOne(
+                  client, rw(s"http://$h/robots.txt"), rTo)
+                val disallows =
+                  if (r.outcome != Outcome.Ok) Seq.empty[String]
+                  else graft.core.UrlCanon.decodeUtf8(r.body)
+                    .map(b => graft.core.RobotsRules.parse(b).disallows)
+                    .getOrElse(Seq.empty[String])
+                (h, disallows)
+              }
+            }.toDF("host", "disallows")
+          val robotsAllowed = udf((ds: Seq[String], url: String) =>
+            graft.core.Robots.allowed(if (ds == null) Nil else ds, url))
+          hostFiltered.join(broadcast(rules), Seq("host"), "left")
+            .filter(robotsAllowed(col("disallows"), col("url")))
+            .drop("disallows")
+        case _ =>
+          // corpus modes: the deterministic corpus robots table, broadcast
+          val robotsMap: Map[String, Seq[String]] =
+            CorpusGen.robotsTable(corpusCfg).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          val robotsBc = spark.sparkContext.broadcast(robotsMap)
+          val robotsOk = udf((host: String, url: String) =>
+            graft.core.Robots.allowed(robotsBc.value.getOrElse(host, Nil), url))
+          hostFiltered.filter(robotsOk(col("host"), col("url")))
+      }
+    val allowed = robotsFiltered.observe(obsAllowed, count(lit(1)).as("n"))
 
     // --- J1: cull_known — sketch-prefiltered exact anti-join ------------------
     // "maybe seen" rows take the exact LEFT ANTI join; "definitely new" rows

@@ -230,9 +230,16 @@ class GoldenCrawlSpec extends AnyFunSuite {
       // query-string or %-encoded page 404s identically in all three modes
       val raw = ex.getRequestURI.getRawPath.stripPrefix("/") +
         Option(ex.getRequestURI.getRawQuery).map("?" + _).getOrElse("")
-      val (status, body) = CorpusGen.resolvePage(corpus, s"http://$raw") match {
-        case CorpusGen.PageLookup.Found(h, p) => (200, CorpusGen.pageHtml(corpus, h, p))
-        case _ => (404, "gone")
+      val RobotsRe = "^h([0-9]+)\\.example/robots\\.txt$".r
+      val (status, body) = raw match {
+        case RobotsRe(hs) => // REAL robots over the wire (north_rule)
+          val dis = CorpusGen.robotsDisallows(corpus, hs.toInt)
+          if (dis.isEmpty) (404, "no robots here")
+          else (200, "User-agent: *\n" + dis.map("Disallow: " + _).mkString("\n"))
+        case _ => CorpusGen.resolvePage(corpus, s"http://$raw") match {
+          case CorpusGen.PageLookup.Found(h, p) => (200, CorpusGen.pageHtml(corpus, h, p))
+          case _ => (404, "gone")
+        }
       }
       val bytes = body.getBytes("UTF-8")
       ex.sendResponseHeaders(status, bytes.length.toLong)
@@ -261,6 +268,14 @@ class GoldenCrawlSpec extends AnyFunSuite {
       assert(genH == oracle.seenGen)
       // all three outcome kinds crossed the real sockets
       assert(outH.map(_._3).intersect(Set("ok", "err", "reject")).size == 3)
+      // robots enforcement happened over HTTP: gated hosts' /x URLs absent
+      // even though the server would happily 200 some of them as pages
+      val gated = genH.keySet.filter { u =>
+        val host = graft.core.UrlCanon.hostOf(u)
+        CorpusGen.robotsTable(corpus).exists(_._1 == host) &&
+          graft.core.Robots.pathOf(u).startsWith("/x")
+      }
+      assert(gated.isEmpty, s"robots-over-HTTP failed to gate: ${gated.take(5)}")
     } finally server.stop(0)
   }
 
