@@ -40,7 +40,7 @@ object ScalingBench {
     val ssDocs = graft.corpus.CorpusTables.documents(spark, ssCorpus) // lazy; unused in Generator mode
 
     // per-stage evidence: attributed task time + straggler ratio per stage
-    val sm = new graft.loop.StageMetrics
+    val sm = new graft.loop.StageMetrics(spark.sparkContext)
     spark.sparkContext.addSparkListener(sm)
 
     val t0 = System.nanoTime()
@@ -49,8 +49,7 @@ object ScalingBench {
       (step.outcomes.count(), step.discovered.count())
     }
     val sec = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(500) // listener bus settles
-    val stages = sm.drain(0).map { r =>
+    val stages = sm.drain(0).map { r => // drain settles the listener bus itself
       val mean = if (r.tasks == 0) 0L else r.task_time_ms / r.tasks
       s"""{"stage":${r.stage_id},"tasks":${r.tasks},"task_time_ms":${r.task_time_ms},""" +
       s""""max_task_ms":${r.max_task_ms},"straggle":${if (mean == 0) 0.0 else r.max_task_ms.toDouble / mean},""" +

@@ -121,7 +121,7 @@ object CrawlLoop {
 
     // per-stage wall-time attribution (A2): every action below is labelled;
     // the listener rows land in the `metrics` table at commit time
-    val stageMetrics = new StageMetrics
+    val stageMetrics = new StageMetrics(spark.sparkContext)
     spark.sparkContext.addSparkListener(stageMetrics)
     try {
 

@@ -1,6 +1,7 @@
 package graft.loop
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import scala.collection.mutable
 
 /**
@@ -16,6 +17,13 @@ import scala.collection.mutable
  * sketch maintenance inside `sketch_build`) and attribute each Spark stage's
  * summed task wall-time, records and shuffle bytes to that label via a
  * SparkListener. One row per (generation, action, spark stage).
+ *
+ * Attribution rides Spark's job-local properties (snapshotted per job at
+ * submit time), NOT a mutable driver field — the async listener bus can
+ * process `onJobStart` after `labelled()` returned, and a field would then
+ * mislabel or drop the job. Stage→label entries are evicted on stage
+ * completion (the bus is a single ordered queue, so every TaskEnd of a stage
+ * is processed before its StageCompleted), bounding the map on long crawls.
  */
 /** One attributed Spark stage of one labelled action of one generation.
  * `max_task_ms` vs `task_time_ms / tasks` exposes stragglers directly. */
@@ -23,49 +31,95 @@ final case class StageRow(gen: Int, action: String, stage_id: Int,
     tasks: Long, task_time_ms: Long, max_task_ms: Long, records_read: Long,
     shuffle_read_bytes: Long, shuffle_write_bytes: Long)
 
-final class StageMetrics extends SparkListener {
+final class StageMetrics(sc: SparkContext) extends SparkListener {
+  import StageMetrics.{LabelKey, MarkerKey}
 
-  // label active at job start → its stage ids
+  // stage id → (gen, action) attribution, from the submitting job's properties
   private val stageLabel = mutable.Map.empty[Int, (Int, String)]
   private val acc = mutable.Map.empty[(Int, Int, String), (Long, Long, Long, Long, Long, Long)]
-  @volatile private var current: Option[(Int, String)] = None
+  // marker bookkeeping for settle(): jobId → marker token; tokens seen at JobEnd
+  private val markerJob = mutable.Map.empty[Int, Long]
+  private val markerSeen = mutable.Set.empty[Long]
+  private var markerCounter = 0L
 
-  /** Label every job submitted while `f` runs. Single-threaded driver loop —
-   * the label is a plain field, not thread-local. */
+  /** Label every job submitted while `f` runs (job-local property — safe
+   * against listener-bus lag, unlike a mutable field). */
   def labelled[T](gen: Int, action: String)(f: => T): T = {
-    current = Some((gen, action))
-    try f finally current = None
+    sc.setLocalProperty(LabelKey, s"$gen:$action")
+    try f finally sc.setLocalProperty(LabelKey, null)
   }
 
-  override def onJobStart(jobStart: SparkListenerJobStart): Unit =
-    current.foreach { label =>
-      jobStart.stageInfos.foreach(si => stageLabel(si.stageId) = label)
-    }
-
-  override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit =
-    stageLabel.get(taskEnd.stageId).foreach { case (gen, action) =>
-      val m = taskEnd.taskMetrics
-      if (m != null) {
-        val key = (gen, taskEnd.stageId, action)
-        acc.synchronized {
-          val (t, ms, mx, rec, sr, sw) = acc.getOrElse(key, (0L, 0L, 0L, 0L, 0L, 0L))
-          acc(key) = (t + 1L, ms + m.executorRunTime,
-            math.max(mx, m.executorRunTime),
-            rec + m.inputMetrics.recordsRead,
-            sr + m.shuffleReadMetrics.totalBytesRead,
-            sw + m.shuffleWriteMetrics.bytesWritten)
+  override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+    val props = jobStart.properties
+    if (props != null) {
+      Option(props.getProperty(MarkerKey)).foreach { tok =>
+        markerSeen.synchronized { markerJob(jobStart.jobId) = tok.toLong }
+      }
+      Option(props.getProperty(LabelKey)).foreach { s =>
+        val i = s.indexOf(':')
+        if (i > 0) {
+          val label = (s.substring(0, i).toInt, s.substring(i + 1))
+          acc.synchronized {
+            jobStart.stageInfos.foreach(si => stageLabel(si.stageId) = label)
+          }
         }
       }
     }
-
-  /** Drain everything recorded for `gen` (rows sorted for determinism). */
-  def drain(gen: Int): Seq[StageRow] = acc.synchronized {
-    val keys = acc.keysIterator.filter(_._1 == gen).toVector
-    val rows = keys.sortBy(k => (k._3, k._2)).map { k =>
-      val (t, ms, mx, rec, sr, sw) = acc(k)
-      StageRow(k._1, k._3, k._2, t, ms, mx, rec, sr, sw)
-    }
-    keys.foreach(acc.remove)
-    rows
   }
+
+  override def onJobEnd(jobEnd: SparkListenerJobEnd): Unit =
+    markerSeen.synchronized {
+      markerJob.remove(jobEnd.jobId).foreach(markerSeen += _)
+    }
+
+  override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+    acc.synchronized { stageLabel.remove(sc.stageInfo.stageId); () }
+
+  override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+    val m = taskEnd.taskMetrics
+    if (m != null) acc.synchronized {
+      stageLabel.get(taskEnd.stageId).foreach { case (gen, action) =>
+        val key = (gen, taskEnd.stageId, action)
+        val (t, ms, mx, rec, sr, sw) = acc.getOrElse(key, (0L, 0L, 0L, 0L, 0L, 0L))
+        acc(key) = (t + 1L, ms + m.executorRunTime,
+          math.max(mx, m.executorRunTime),
+          rec + m.inputMetrics.recordsRead,
+          sr + m.shuffleReadMetrics.totalBytesRead,
+          sw + m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+  }
+
+  /** Flush the async listener bus: run a tiny marker job and wait until THIS
+   * listener has processed its JobEnd — the bus is one ordered queue, so
+   * every event posted before the marker has been delivered by then. */
+  def settle(timeoutMs: Long = 2000): Unit = {
+    val tok = { markerCounter += 1; markerCounter }
+    sc.setLocalProperty(MarkerKey, tok.toString)
+    try sc.parallelize(Seq(0), 1).count()
+    finally sc.setLocalProperty(MarkerKey, null)
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (!markerSeen.synchronized(markerSeen.remove(tok)) &&
+           System.nanoTime() < deadline) Thread.sleep(1)
+  }
+
+  /** Settle the bus, then drain everything recorded for `gen` (rows sorted
+   * for determinism). */
+  def drain(gen: Int): Seq[StageRow] = {
+    settle()
+    acc.synchronized {
+      val keys = acc.keysIterator.filter(_._1 == gen).toVector
+      val rows = keys.sortBy(k => (k._3, k._2)).map { k =>
+        val (t, ms, mx, rec, sr, sw) = acc(k)
+        StageRow(k._1, k._3, k._2, t, ms, mx, rec, sr, sw)
+      }
+      keys.foreach(acc.remove)
+      rows
+    }
+  }
+}
+
+object StageMetrics {
+  val LabelKey = "graft.metrics.label"
+  val MarkerKey = "graft.metrics.marker"
 }

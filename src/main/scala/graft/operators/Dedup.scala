@@ -91,9 +91,13 @@ object Dedup {
   /** Connected components over a (doc_a, doc_b) pair graph: min-label
    * propagation — each round every node adopts the smallest label among
    * itself and its neighbours; converges in O(component diameter) rounds
-   * (near-dup clusters are shallow). Each round is one join + one
-   * aggregate; intermediate labels are persisted and released. Returns
-   * (node, cluster = min id of its component), nodes = pair endpoints. */
+   * (near-dup clusters are shallow). ONE job and one join+aggregate per
+   * round: each node's previous label rides the self rows through the
+   * aggregate (min over exactly one non-null `prev` per node — every dst is
+   * also a src by symmetrization, so every node has a self row), and the
+   * convergence count is an `Observation` on the same action — no second
+   * join against the previous labels. Returns (node, cluster = min id of
+   * its component), nodes = pair endpoints. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -104,13 +108,20 @@ object Dedup {
       var changed = 1L
       var i = 0
       while (changed > 0 && i < maxIter) {
+        val labelType = labels.schema("label").dataType
         val viaNeighbours = edges
           .join(labels, edges("src") === labels("node"))
-          .select(col("dst").as("node"), col("label"))
-        val next = labels.unionByName(viaNeighbours)
-          .groupBy("node").agg(min("label").as("label")).persist()
-        changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
-          .filter(col("label") =!= col("prev")).count()
+          .select(col("dst").as("node"), col("label"),
+            lit(null).cast(labelType).as("prev"))
+        val self = labels.select(col("node"), col("label"), col("label").as("prev"))
+        val obs = org.apache.spark.sql.Observation()
+        val next = self.unionByName(viaNeighbours)
+          .groupBy("node").agg(min("label").as("label"), min("prev").as("prev"))
+          .observe(obs,
+            sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)).as("chg"))
+          .select("node", "label").persist()
+        next.count() // the round's single action
+        changed = Option(obs.get.apply("chg")).map(_.asInstanceOf[Long]).getOrElse(0L)
         labels.unpersist()
         labels = next
         i += 1

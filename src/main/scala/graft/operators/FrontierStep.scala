@@ -401,11 +401,4 @@ object FrontierStep {
   /** Deterministic task priority ∈ [0,10) — pure, shared with the oracle. */
   def priorityOf(url: String): Int =
     Math.floorMod(BloomSketch.hash(url, 0x70726fL), 10L).toInt
-
-  /** Deserialize-once bloom probe (per executor, not per row). */
-  private final class SerializableContains(bytes: Array[Byte])
-      extends (String => Boolean) with Serializable {
-    @transient private lazy val sketch = BloomSketch.deserialize(bytes)
-    override def apply(u: String): Boolean = sketch.mightContain(u)
-  }
 }

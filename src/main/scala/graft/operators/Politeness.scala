@@ -37,7 +37,12 @@ object Politeness {
   def markTopKPerHost(tasks: DataFrame, k: Int, saltBuckets: Int = 16): DataFrame = {
     val order = Seq(col("priority").asc, col("next_fetch").asc, col("url").asc)
     val counts = tasks.groupBy(col("host")).agg(count(lit(1)).as("_hn"))
-    val joined = tasks.join(counts, Seq("host"))
+    // LEFT join: a contract-violating null host can't equi-join its own count
+    // row (null keys never match) — coalesce routes it to the under-cap branch
+    // so the row is kept (selected) instead of silently vanishing from the
+    // frontier, matching the pure-window formulation's keep-and-rank behaviour
+    val joined = tasks.join(counts, Seq("host"), "left")
+      .withColumn("_hn", coalesce(col("_hn"), lit(1L)))
     // long tail: whole host fits under the cap — selected without ranking
     val under = joined.filter(col("_hn") <= k)
       .drop("_hn").withColumn("selected", lit(true))

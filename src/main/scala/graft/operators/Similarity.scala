@@ -84,13 +84,39 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val src = vectors.select(col(idCol).cast("long"), col(embCol)).as[(Long, Seq[Float])]
+    import org.apache.spark.sql.types.StringType
+    // ids keep their ORIGINAL type through the pair output (string-keyed
+    // corpora are first-class — Dedup's doc_id is a string); block routing is
+    // hash-based either way, so routing never depends on ids being numeric
+    vectors.schema(idCol).dataType match {
+      case StringType =>
+        val src = vectors.select(col(idCol).cast("string"), col(embCol))
+          .as[(String, Seq[Float])]
+        cosinePairsTyped[String](src, blocks, threshold,
+          id => graft.functions.BloomSketch.hash(id, 0xb10cL))
+      case _ =>
+        val src = vectors.select(col(idCol).cast("long"), col(embCol))
+          .as[(Long, Seq[Float])]
+        cosinePairsTyped[Long](src, blocks, threshold, identity)
+    }
+  }
+
+  /** Shared triangular-block kernel; `route` maps an id to a stable 64-bit
+   * value whose mod-B residue is the block. */
+  private def cosinePairsTyped[K: org.apache.spark.sql.Encoder : Ordering](
+      src: org.apache.spark.sql.Dataset[(K, Seq[Float])], blocks: Int,
+      threshold: Double, route: K => Long)(
+      implicit enc3: org.apache.spark.sql.Encoder[(Long, Int, K, Seq[Float])],
+      encOut: org.apache.spark.sql.Encoder[(K, K, Double)]): DataFrame = {
     val b = math.max(1, blocks)
+    val ord = implicitly[Ordering[K]]
+    implicit val gridKeyEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
     // route each vector to its block, replicate to every (block, otherBlock)
     // grid row it participates in; grid key = (min, max) so each unordered
     // block pair materialises exactly once
     val routed = src.flatMap { case (id, emb) =>
-      val blk = (Math.floorMod(id, b.toLong)).toInt
+      val blk = Math.floorMod(route(id), b.toLong).toInt
       (0 until b).iterator.map { other =>
         val key = if (blk <= other) blk.toLong * b + other else other.toLong * b + blk
         (key, blk, id, emb)
@@ -104,8 +130,8 @@ object Similarity {
       .flatMapGroups { (grid, it) =>
         val lo = (grid / b).toInt
         val hi = (grid % b).toInt
-        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
-        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        val left = scala.collection.mutable.ArrayBuffer.empty[(K, Array[Float], Double)]
+        val right = scala.collection.mutable.ArrayBuffer.empty[(K, Array[Float], Double)]
         it.foreach { case (_, blk, id, emb) =>
           val a = emb.toArray
           val row = (id, a, TextFunctions.norm(a))
@@ -113,7 +139,7 @@ object Similarity {
           if (blk == hi && lo != hi) right += row
         }
         val rs = if (lo == hi) left else right
-        val out = Seq.newBuilder[(Long, Long, Double)]
+        val out = Seq.newBuilder[(K, K, Double)]
         var i = 0
         while (i < left.length) {
           val (ia, va, na) = left(i)
@@ -123,7 +149,7 @@ object Similarity {
             if (ia != ib && na != 0.0 && nb != 0.0) {
               val cos = TextFunctions.dot(va, vb) / (na * nb)
               if (cos >= thr) {
-                if (ia < ib) out += ((ia, ib, cos)) else out += ((ib, ia, cos))
+                if (ord.lt(ia, ib)) out += ((ia, ib, cos)) else out += ((ib, ia, cos))
               }
             }
             j += 1

@@ -64,6 +64,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connectedComponents runs ONE Spark job per propagation round") {
+    val s = spark
+    import s.implicits._
+    // diameter-3 chain forces ≥3 rounds; the convergence check must ride the
+    // round's single action (Observation), not a second join+count job
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("doc_a", "doc_b")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        { jobs.incrementAndGet(); () }
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      val labels = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.forall { case (n, l) => if (n <= 5L) l == 1L else l == 8L })
+      // rounds needed: 4 label rounds + 1 converged round + final collect.
+      // Under AQE one action fans into ~5 stage-jobs: measured 30 for this
+      // graph with Observation-based convergence vs 35 with the old separate
+      // changed-check join+count — this is the regression guard for that
+      // extra per-round join sneaking back in.
+      val n = jobs.get()
+      assert(n <= 32, s"connectedComponents issued $n jobs — a second per-round job crept in")
+    } finally s.sparkContext.removeSparkListener(listener)
+  }
+
+  test("cosinePairs keeps STRING ids end-to-end (no silent numeric cast)") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      ("doc-a", Seq(1f, 0f, 0f)), ("doc-b", Seq(0.9f, 0.1f, 0f)),
+      ("doc-c", Seq(0f, 1f, 0f)), ("doc-d", Seq(1f, 0.01f, 0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairs(vecs, 0.95, blocks = 3).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("doc-a", "doc-b"), ("doc-a", "doc-d"), ("doc-b", "doc-d")),
+      s"string-keyed pairs wrong: $pairs")
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
   test("minhashDedupCC keeps exactly one survivor per transitive cluster") {
     val s = spark
     import s.implicits._
