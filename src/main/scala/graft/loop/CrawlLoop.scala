@@ -1,7 +1,7 @@
 package graft.loop
 
 import graft.corpus.CorpusTables
-import graft.functions.{ShardedBloom, SketchAgg}
+import graft.functions.{SeenShard, ShardStore}
 import graft.model.Document
 import graft.operators.{CrawlConfig, FrontierStep, SeenPrefilter}
 import graft.plans.TableIO
@@ -16,9 +16,10 @@ import org.apache.spark.storage.StorageLevel
  * with deterministic, resumable supersteps:
  *
  *   per generation g: read frontier(g) → FrontierStep.step → write
- *   frontier(g+1) + seen delta(g) + outcomes(g) → merge delta bloom into the
- *   cumulative sketch → atomic commit manifest with per-partition lineage
- *   and per-stage metrics.
+ *   frontier(g+1) + seen delta(g) + outcomes(g) → route the delta into the
+ *   partitioned seen-sketch shards (never collected or broadcast; each
+ *   shard checkpoints ITSELF to sketch/gen=g — ShardStore scaladoc) →
+ *   atomic commit manifest with per-partition lineage and per-stage metrics.
  *
  * The commit fence closes the reference's seen-set race (SURVEY.md §3.2):
  * generation g+1's anti-join only ever reads committed state, so a URL can
@@ -63,8 +64,36 @@ object CrawlLoop {
     val useSketch = cfg.useBloomPrefilter && cfg.seenSketch != "none"
     val shardsN = math.max(1, cfg.sketchShards)
     val perShardExpected = math.max(64L, cfg.bloomExpectedItems / shardsN)
-    def freshSharded(): ShardedBloom =
-      ShardedBloom.create(shardsN, perShardExpected, cfg.bloomFpp)
+
+    // --- unified distributed seen-sketch (ShardStore scaladoc) ---------------
+    // Shards live as a persisted RDD with FILE-BACKED lineage: each
+    // generation they write themselves to sketch/gen=K/shard_I.bin (from
+    // inside their partitions) and the next generation re-loads from those
+    // files — reliable-checkpoint semantics (executor loss re-reads a file),
+    // no driver collect, no whole-sketch broadcast, no monolithic blob.
+    var shards: Option[RDD[SeenShard]] = None
+
+    /** Load gen's shard files; persist + swap, dropping the previous RDD. */
+    def swapInShards(gen: Int): Unit = {
+      val loaded = ShardStore.load(spark, io.sketchDir(gen), shardsN)
+        .map(_.persist(StorageLevel.MEMORY_AND_DISK))
+      shards.foreach(_.unpersist(blocking = false))
+      shards = loaded
+    }
+
+    /** Rebuild the sketch from the committed seen table (derived state) —
+     * the resume path when shard files are missing: a workDir previously run
+     * with a different --sketch mode or pre-shard-file layout. Without this
+     * an EMPTY sketch would answer "definitely new" for seen URLs ⇒ false
+     * negatives ⇒ duplicate fetches. */
+    def rebuildShardsFromSeen(upToGen: Int): Unit = {
+      val seenSoFar = spark.read.parquet(io.deltaDirs("seen", upToGen): _*)
+        .select("url").as[String]
+      val built = ShardStore.build(
+        seenSoFar, shardsN, cfg.seenSketch, perShardExpected, cfg.bloomFpp)
+      ShardStore.write(built, io.sketchDir(upToGen))
+      swapInShards(upToGen)
+    }
 
     // --- bootstrap or resume -------------------------------------------------
     var frontierRows: Long = 0L
@@ -73,6 +102,10 @@ object CrawlLoop {
         frontierRows = FrontierRowsRe.findFirstMatchIn(io.readManifest(g))
           .map(_.group(1).toLong)
           .getOrElse(spark.read.parquet(io.genDir("frontier", g)).count())
+        if (useSketch) {
+          swapInShards(g)
+          if (shards.isEmpty) rebuildShardsFromSeen(g)
+        }
         g + 1
       case None =>
         // bootstrap commit: seeds become frontier(0) AND seen delta(0) — the
@@ -82,10 +115,12 @@ object CrawlLoop {
         seedDf.write.mode("overwrite").parquet(io.genDir("frontier", 0))
         seedDf.select(col("url"), lit(0).as("gen"))
           .write.mode("overwrite").parquet(io.genDir("seen", 0))
-        if (useSketch && cfg.seenSketch == "bloom") {
-          val sharded = SketchAgg.buildShardedBloom(
-            seedDf.select("url").as[String], SketchAgg.geometryOf(freshSharded()))
-          io.writeBloom(0, sharded.serialize())
+        if (useSketch) {
+          val built = ShardStore.build(
+            spark.read.parquet(io.genDir("seen", 0)).select("url").as[String],
+            shardsN, cfg.seenSketch, perShardExpected, cfg.bloomFpp)
+          ShardStore.write(built, io.sketchDir(0))
+          swapInShards(0)
         }
         val n = seedDf.count()
         io.commit(0,
@@ -93,28 +128,6 @@ object CrawlLoop {
         frontierRows = n
         1
     }
-
-    // cuckoo shards live as a persisted RDD for the duration of the run
-    // (incremental zipPartitions inserts/deletes); a resumed run rebuilds
-    // them from the committed seen table — the sketch is derived state.
-    var cuckooShards: Option[RDD[SketchAgg.CuckooShard]] =
-      if (useSketch && cfg.seenSketch == "cuckoo") {
-        val seenSoFar = spark.read.parquet(io.deltaDirs("seen", startGen - 1): _*)
-          .select("url").as[String]
-        val built = SketchAgg.buildCuckooShards(seenSoFar, shardsN, perShardExpected)
-        built.localCheckpoint()
-        built.count()
-        Some(built)
-      } else None
-
-    def advanceCuckoo(urls: Dataset[String], delete: Boolean): Unit =
-      cuckooShards.foreach { rdd =>
-        val updated = SketchAgg.updateCuckooShards(rdd, urls, delete)
-        updated.localCheckpoint()
-        updated.count() // materialize before dropping the parent
-        rdd.unpersist(blocking = false)
-        cuckooShards = Some(updated)
-      }
 
     val stats = Seq.newBuilder[GenStats]
     var gen = startGen
@@ -146,8 +159,18 @@ object CrawlLoop {
             .write.mode("overwrite").parquet(io.compactDir("seen", prevGen))
           io.commitCompaction("seen", prevGen,
             obsP.get.apply("rows").asInstanceOf[Long])
-          advanceCuckoo(allSeen.filter(matchHost(col("url"))).select("url").as[String],
-            delete = true)
+          // routed per-shard fingerprint deletion (cuckoo only — bloom keeps
+          // stale bits by design); the delete-updated RDD stays one file
+          // read + one routed batch deep until this gen's files land
+          if (cfg.seenSketch == "cuckoo") shards.foreach { rdd =>
+            val updated = ShardStore.update(rdd,
+                allSeen.filter(matchHost(col("url"))).select("url").as[String],
+                delete = true)
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            updated.count()
+            rdd.unpersist(blocking = false)
+            shards = Some(updated)
+          }
         }
       }
 
@@ -155,15 +178,7 @@ object CrawlLoop {
       val seen = spark.read.parquet(io.deltaDirs("seen", prevGen): _*).select("url")
       val prefilter: SeenPrefilter =
         if (!useSketch) SeenPrefilter.Off
-        else cfg.seenSketch match {
-          case "cuckoo" =>
-            cuckooShards.map(SeenPrefilter.Cuckoo(_)).getOrElse(SeenPrefilter.Off)
-          case _ =>
-            io.readBloom(prevGen)
-              .map(b => SeenPrefilter.Bloom(
-                spark.sparkContext.broadcast(ShardedBloom.deserialize(b))))
-              .getOrElse(SeenPrefilter.Off)
-        }
+        else shards.map(SeenPrefilter.Sharded(_)).getOrElse(SeenPrefilter.Off)
 
       val res = FrontierStep.step(spark, frontier, seen, prefilter, docs, cfg, prevGen)
 
@@ -206,51 +221,35 @@ object CrawlLoop {
 
       // ---- incremental seen-sketch maintenance (the discovered set is still
       //      persisted from the step; no seen rescan unless a shard rebuilds)
-      if (useSketch) stageMetrics.labelled(gen, "sketch_build") { cfg.seenSketch match {
-        case "cuckoo" =>
-          advanceCuckoo(res.discovered.select("url").as[String], delete = false)
-          // grow any shard whose kick loop overflowed (it answers "maybe"
-          // for everything until rebuilt). Seen = committed deltas + the
-          // in-flight one (same completeness rule as the bloom rebuild).
-          cuckooShards.foreach { rdd =>
-            val rebuilt = SketchAgg.rebuildTaintedCuckoo(rdd,
-              spark.read.parquet(
-                (io.deltaDirs("seen", prevGen) :+ io.genDir("seen", gen)): _*)
-                .select("url").as[String])
-            if (rebuilt ne rdd) {
-              rebuilt.localCheckpoint()
-              rebuilt.count()
-              rdd.unpersist(blocking = false)
-              cuckooShards = Some(rebuilt)
-            }
-          }
-        case _ =>
-          val cum = io.readBloom(prevGen).map(ShardedBloom.deserialize)
-            .getOrElse(freshSharded())
-          // delta built against the cumulative sketch's CURRENT per-shard
-          // geometry, so it OR-merges even after past per-bucket rebuilds
-          val delta = SketchAgg.buildShardedBloom(
-            res.discovered.select("url").as[String], SketchAgg.geometryOf(cum))
-          val merged = cum.mergeInPlace(delta)
-          // per-bucket growth: saturated shards rebuild alone from their
-          // slice of seen with doubled geometry — the sketch never silently
-          // degrades to all-ones (north_rule partitioned union-merge)
-          val saturated = merged.saturatedShards(cfg.shardFillCap)
-          if (saturated.nonEmpty) {
-            // the full seen set = committed deltas ≤ prevGen PLUS this
-            // generation's just-written delta (gen's manifest isn't committed
-            // yet, so deltaDirs(gen) would MISS it — a rebuild from that
-            // subset loses this generation's URLs ⇒ sketch false negatives ⇒
-            // duplicate seen entries; caught by the saturation golden test)
-            val seenAll = spark.read.parquet(
-                (io.deltaDirs("seen", prevGen) :+ io.genDir("seen", gen)): _*)
-              .select("url").as[String]
-            saturated.foreach { i =>
-              merged.shards(i) = SketchAgg.rebuildShard(seenAll, merged, i, cfg.bloomFpp)
-            }
-          }
-          io.writeBloom(gen, merged.serialize())
-      } }
+      if (useSketch) stageMetrics.labelled(gen, "sketch_build") {
+        shards.foreach { prev =>
+          // routed per-shard insert of this generation's delta (copies —
+          // the persisted parents stay immutable)
+          val updated = ShardStore.update(
+              prev, res.discovered.select("url").as[String])
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          // degraded shards (bloom fill past the cap / cuckoo kick-loop
+          // overflow ⇒ tainted) rebuild ALONE inside their partitions with
+          // geometry grown from their exact item count — the sketch never
+          // silently degrades (north_rule partitioned union-merge). The
+          // full seen set = committed deltas ≤ prevGen PLUS this
+          // generation's just-written delta (gen's manifest isn't committed
+          // yet, so deltaDirs(gen) would MISS it — a rebuild from that
+          // subset loses this generation's URLs ⇒ sketch false negatives ⇒
+          // duplicate seen entries; caught by the saturation golden test).
+          val seenAll = spark.read.parquet(
+              (io.deltaDirs("seen", prevGen) :+ io.genDir("seen", gen)): _*)
+            .select("url").as[String]
+          val healthy = ShardStore.rebuildDegraded(
+            updated, seenAll, cfg.shardFillCap, cfg.bloomFpp)
+          // the generation's durable sketch checkpoint: every shard writes
+          // itself from inside its partition; only (id, items, bytes)
+          // metadata reaches the driver
+          ShardStore.write(healthy, io.sketchDir(gen))
+          updated.unpersist(blocking = false)
+          swapInShards(gen)
+        }
+      }
 
       // ---- metrics + lineage (A1-A3) from the observations
       val nextRows = obsFrontier.get.apply("rows").asInstanceOf[Long]
@@ -294,6 +293,10 @@ object CrawlLoop {
         s""""partitions":${spark.sparkContext.defaultParallelism},""" +
         s""""lineage":{"frontier":${lineage("frontier")},"seen":${lineage("seen")}}}""")
 
+      // commit fence passed: generations < gen-1 can never be a resume
+      // point again, so their sketch checkpoints are garbage
+      if (useSketch) io.dropSketchesBefore(gen - 1)
+
       spark.catalog.clearCache() // drop per-step persists; next gen reads parquet
 
       // ---- log-structured seen compaction: fold the delta log into one
@@ -325,7 +328,10 @@ object CrawlLoop {
       gen += 1
     }
     RunResult(stats.result(), gen - 1)
-    } finally spark.sparkContext.removeSparkListener(stageMetrics)
+    } finally {
+      shards.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.removeSparkListener(stageMetrics)
+    }
   }
 
   /** Final crawl output: the full seen set with the generation each URL was

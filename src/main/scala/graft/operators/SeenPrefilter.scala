@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{NativeExpressions, ShardedBloom, SketchAgg}
+import graft.functions.{NativeExpressions, ShardedBloom}
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
@@ -34,15 +34,14 @@ object SeenPrefilter {
       allowed.withColumn("_maybe", NativeExpressions.shardedBloomProbe(col("url"), bc))
   }
 
-  /** Cuckoo shards probed in place: candidates route to the partition that
-   * OWNS their shard (zipPartitions) — no filter bytes move, ever. The
-   * routing shuffle replaces the broadcast; the deletion path is what buys
-   * this variant its keep (retroactive seen-set retraction). */
-  final case class Cuckoo(shards: RDD[SketchAgg.CuckooShard]) extends SeenPrefilter {
+  /** The unified distributed sketch (bloom or cuckoo `SeenShard`s, crawl-loop
+   * production path): candidates route to the partition owning their shard —
+   * no sketch bytes ever move, in either direction (ShardStore scaladoc). */
+  final case class Sharded(shards: RDD[graft.functions.SeenShard]) extends SeenPrefilter {
     def tag(allowed: DataFrame): DataFrame = {
       val spark = allowed.sparkSession
       import spark.implicits._
-      val tagged = SketchAgg.probeCuckooShards(
+      val tagged = graft.functions.ShardStore.probe(
         allowed.select("url", "host").as[(String, String)], shards)
       spark.createDataFrame(tagged).toDF("url", "host", "_maybe")
     }

@@ -91,18 +91,26 @@ final class TableIO(val root: String) {
       .filter(d => Files.isDirectory(Paths.get(d)))
   }
 
-  def bloomPath(gen: Int): Path = p("bloom", f"gen_$gen%05d.bin")
+  // --- per-shard sketch persistence (the sketch's reliable checkpoint) ------
+  /** Directory holding generation `gen`'s seen-sketch shard files
+   * (`shard_I.bin`, written from inside each shard's partition). */
+  def sketchDir(gen: Int): String = p("sketch", f"gen=$gen%05d").toString
 
-  def writeBloom(gen: Int, bytes: Array[Byte]): Unit = {
-    Files.createDirectories(p("bloom"))
-    val tmp = p("bloom", f"_tmp_$gen%05d.bin")
-    Files.write(tmp, bytes)
-    Files.move(tmp, bloomPath(gen), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+  /** GC sketch shard dirs for generations < `keepFrom` (called after the
+   * commit fence — the newest committed generation's files are never
+   * dropped, so resume always finds them). */
+  def dropSketchesBefore(keepFrom: Int): Unit = {
+    val root = p("sketch")
+    if (Files.isDirectory(root)) listNames(root).foreach { name =>
+      if (name.startsWith("gen=")) {
+        val g = name.stripPrefix("gen=").toInt
+        if (g < keepFrom) {
+          val dir = root.resolve(name)
+          listNames(dir).foreach(f => Files.deleteIfExists(dir.resolve(f)))
+          Files.deleteIfExists(dir)
+        }
+      }
+    }
   }
 
-  def readBloom(gen: Int): Option[Array[Byte]] = {
-    val f = bloomPath(gen)
-    if (Files.exists(f)) Some(Files.readAllBytes(f)) else None
-  }
 }

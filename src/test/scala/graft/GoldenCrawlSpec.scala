@@ -312,13 +312,16 @@ class GoldenCrawlSpec extends AnyFunSuite {
     assert(engineGen == oracle.seenGen)
     assert(engineOutcomes == oracle.outcomes.toSet)
     // the final sketch grew: some shard is bigger than the initial geometry
-    // and no shard is saturated
+    // and no shard is saturated (read back from the per-shard checkpoint
+    // files — the only place the sketch lives now)
     val lastGen = lastIo.lastCommittedGen().get
-    val sb = graft.functions.ShardedBloom.deserialize(lastIo.readBloom(lastGen).get)
+    val blooms = graft.functions.ShardStore.readAll(lastIo, lastGen, 4)
+      .collect { case b: graft.functions.BloomSeenShard => b }
+    assert(blooms.length == 4, s"expected 4 bloom shard files, got ${blooms.length}")
     val initialBits = graft.functions.BloomSketch.create(16, 0.01).sizeBits
-    assert(sb.shards.exists(_.sizeBits > initialBits), "no shard ever rebuilt/grew")
-    assert(sb.saturatedShards(0.47).isEmpty,
-      s"saturated shards remain: fills=${sb.shards.map(_.fillRatio).toSeq}")
+    assert(blooms.exists(_.sketch.sizeBits > initialBits), "no shard ever rebuilt/grew")
+    assert(blooms.forall(_.sketch.fillRatio <= 0.47),
+      s"saturated shards remain: fills=${blooms.map(_.sketch.fillRatio)}")
   }
 
   test("aggressive seen compaction is invisible to results and to resume") {
@@ -358,5 +361,51 @@ class GoldenCrawlSpec extends AnyFunSuite {
           .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))).toSet)
     }
     assert(state(fullDir) == state(resDir))
+  }
+
+  test("cuckoo-mode resume from checkpoint is identical to an uninterrupted run") {
+    // the sketch state lives in per-shard checkpoint files (ShardStore), so a
+    // "crash" (new run over the same workDir) must pick the shards back up —
+    // round 2's localCheckpoint chains had no such recovery path
+    val spark = SparkSuite.spark
+    val cfg = CrawlConfig(corpus = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24),
+      perHostCap = 3, fetchMode = graft.operators.FetchMode.Generator,
+      seenSketch = "cuckoo")
+    val seeds = CorpusGen.seeds(cfg.corpus, 2)
+    val fullDir = Files.createTempDirectory("graft-ck-full").toString
+    CrawlLoop.run(spark, new TableIO(fullDir), seeds, cfg, maxGens = 16)
+    val resDir = Files.createTempDirectory("graft-ck-res").toString
+    CrawlLoop.run(spark, new TableIO(resDir), seeds, cfg, maxGens = 4) // "crash"
+    CrawlLoop.run(spark, new TableIO(resDir), seeds, cfg, maxGens = 16) // resume
+    def state(dir: String) = {
+      val io = new TableIO(dir)
+      (CrawlLoop.seenWithGen(spark, io).collect().map(r => (r.getString(0), r.getInt(1))).toSet,
+        CrawlLoop.allOutcomes(spark, io).collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))).toSet)
+    }
+    assert(state(fullDir) == state(resDir))
+  }
+
+  test("resume after a sketch-MODE switch rebuilds the sketch from seen (no false negatives)") {
+    // run gens 0-4 with --sketch=none (no shard files on disk), then resume
+    // with --sketch=bloom: the loop must rebuild the cumulative sketch from
+    // the committed seen table, NOT start from an empty one — an empty
+    // sketch answers "definitely new" for every previously seen URL, those
+    // skip the exact anti-join, and the seen table grows duplicates
+    val spark = SparkSuite.spark
+    val corpus = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24)
+    val seeds = CorpusGen.seeds(corpus, 2)
+    val noneCfg = CrawlConfig(corpus = corpus, perHostCap = 3,
+      fetchMode = graft.operators.FetchMode.Generator, seenSketch = "none")
+    val bloomCfg = noneCfg.copy(seenSketch = "bloom")
+    val dir = Files.createTempDirectory("graft-modeswitch").toString
+    CrawlLoop.run(spark, new TableIO(dir), seeds, noneCfg, maxGens = 4)
+    CrawlLoop.run(spark, new TableIO(dir), seeds, bloomCfg, maxGens = 16)
+    val seenRows = CrawlLoop.seenWithGen(spark, new TableIO(dir)).collect()
+    assert(seenRows.length == seenRows.map(_.getString(0)).distinct.length,
+      "duplicate urls in seen — resume started from an empty sketch")
+    val engineGen = seenRows.map(r => r.getString(0) -> r.getInt(1)).toMap
+    val oracle = SeqCrawler.crawl(bloomCfg, seeds, maxGens = 16)
+    assert(engineGen == oracle.seenGen)
   }
 }

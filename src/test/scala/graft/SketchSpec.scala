@@ -57,122 +57,117 @@ class SketchSpec extends AnyFunSuite {
     assert(in.filterNot(_ == victim).forall(cf.contains))
   }
 
-  test("cuckoo shard RDD: distributed build + probe + delete, never collected") {
-    val spark = SparkSuite.spark
-    import spark.implicits._
-    import graft.functions.SketchAgg
-    val in = urls(20000, "sc")
-    val shards = SketchAgg.buildCuckooShards(in.toDS(), numShards = 16,
-      expectedItemsPerShard = 2048)
-    shards.persist()
-    assert(shards.getNumPartitions == 16)
-    // distributed probe: inserted urls all maybe=true (no false negatives)
-    val probedIn = SketchAgg.probeCuckooShards(
-      in.map(u => (u, "h")).toDS(), shards).collect()
-    assert(probedIn.length == in.size)
-    assert(probedIn.forall(_._3), "cuckoo probe lost an inserted url")
-    // FPR on disjoint probes stays low
-    val fp = SketchAgg.probeCuckooShards(
-      urls(20000, "zz").map(u => (u, "h")).toDS(), shards).collect().count(_._3)
-    assert(fp < 20000 * 0.02, s"fp=$fp")
-    // distributed delete: victims gone, survivors intact (multiset semantics
-    // ⇒ deleting once-inserted urls cannot evict another url's fingerprint)
-    val victims = in.take(500)
-    val after = SketchAgg.updateCuckooShards(shards, victims.toDS(), delete = true)
-    after.persist()
-    val probedAfter = SketchAgg.probeCuckooShards(
-      in.map(u => (u, "h")).toDS(), shards = after).collect()
-      .map { case (u, _, m) => u -> m }.toMap
-    assert(victims.count(v => probedAfter.getOrElse(v, true)) < victims.size / 10,
-      "deletion left most victims visible")
-    assert(in.drop(500).forall(u => probedAfter.getOrElse(u, false)),
-      "deletion created a false negative on a survivor")
-    // parent shards untouched (RDD immutability: updates copy)
-    val reprobe = SketchAgg.probeCuckooShards(
-      victims.map(u => (u, "h")).toDS(), shards).collect()
-    assert(reprobe.forall(_._3), "updateCuckooShards mutated its parent in place")
-    shards.unpersist(); after.unpersist()
-  }
 
-  test("cuckoo taint + rebuild: overflow answers maybe-all, rebuild grows and recovers") {
-    val spark = SparkSuite.spark
-    import spark.implicits._
-    import graft.functions.SketchAgg
-    val in = urls(4000, "tc")
-    // 4000 urls into 4 shards of ~128 slots each ⇒ every shard overflows
-    val shards = SketchAgg.buildCuckooShards(in.toDS(), numShards = 4,
-      expectedItemsPerShard = 64)
-    shards.persist()
-    assert(shards.filter(_.tainted).count() == 4, "expected all shards tainted")
-    // tainted ⇒ conservative: EVERYTHING is maybe (no pruning, no loss)
-    val probed = SketchAgg.probeCuckooShards(
-      urls(1000, "zz").map(u => (u, "h")).toDS(), shards).collect()
-    assert(probed.forall(_._3), "tainted shard must answer maybe")
-    // rebuild from the full set with grown capacity until healthy
-    var cur = shards
-    var rounds = 0
-    while (cur.filter(_.tainted).count() > 0 && rounds < 8) {
-      val next = SketchAgg.rebuildTaintedCuckoo(cur, in.toDS())
-      next.persist(); next.count(); cur.unpersist()
-      cur = next
-      rounds += 1
-    }
-    assert(cur.filter(_.tainted).count() == 0, s"still tainted after $rounds rebuilds")
-    // recovered: no false negatives, real pruning again
-    val probedIn = SketchAgg.probeCuckooShards(
-      in.map(u => (u, "h")).toDS(), cur).collect()
-    assert(probedIn.forall(_._3))
-    val fp = SketchAgg.probeCuckooShards(
-      urls(4000, "zz").map(u => (u, "h")).toDS(), cur).collect().count(_._3)
-    assert(fp < 4000 * 0.02, s"fp=$fp after rebuild")
-    cur.unpersist()
-  }
 
-  test("sharded bloom: distributed build, no false negatives, geometry-true deltas merge") {
-    val spark = SparkSuite.spark
-    import spark.implicits._
-    import graft.functions.{ShardedBloom, SketchAgg}
-    val base = ShardedBloom.create(8, 1024, 0.01)
-    val a = urls(4000, "sa")
-    val built = SketchAgg.buildShardedBloom(a.toDS(), SketchAgg.geometryOf(base))
-    assert(a.forall(built.mightContain))
-    val b = urls(4000, "sb")
-    val delta = SketchAgg.buildShardedBloom(b.toDS(), SketchAgg.geometryOf(built))
-    val merged = built.mergeInPlace(delta)
-    assert((a ++ b).forall(merged.mightContain))
-    val rt = ShardedBloom.deserialize(merged.serialize())
-    assert((a ++ b).forall(rt.mightContain))
-  }
 
-  test("sharded bloom: saturating shard rebuilds alone with doubled geometry") {
-    val spark = SparkSuite.spark
-    import spark.implicits._
-    import graft.functions.{ShardedBloom, SketchAgg}
-    // tiny per-shard geometry so 8k urls saturate it far past the fill cap
-    val sb = ShardedBloom.create(4, 64, 0.01)
-    val in = urls(8000, "ov")
-    in.foreach(sb.put)
-    val saturated = sb.saturatedShards(0.47)
-    assert(saturated.nonEmpty, "expected saturation at 2000x design load")
-    assert(in.forall(sb.mightContain)) // degraded (≈all-ones) but never lossy
-    val before = saturated.map(i => sb.shards(i).sizeBits).toVector
-    saturated.foreach { i =>
-      sb.shards(i) = SketchAgg.rebuildShard(in.toDS(), sb, i, fpp = 0.01)
-    }
-    saturated.zipWithIndex.foreach { case (s, j) =>
-      assert(sb.shards(s).sizeBits >= before(j) * 2, "rebuild did not grow geometry")
-    }
-    // invariant survives the rebuild: still no false negatives
-    assert(in.forall(sb.mightContain))
-    // and the rebuilt shards are back under the designed load
-    saturated.foreach(i => assert(sb.shards(i).fillRatio < 0.47,
-      s"shard $i still saturated after count-sized rebuild"))
-  }
 
   test("cuckoo: low FPR on disjoint probes") {
     val cf = CuckooFilter.create(5000)
     urls(5000, "c").foreach(cf.insert)
     val fp = urls(20000, "z").count(cf.contains)
     assert(fp < 20000 * 0.02, s"fp=$fp")
+  }
+
+  test("ShardStore: build/update/probe — no false negatives, both flavours") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    import graft.functions.ShardStore
+    for (kind <- Seq("bloom", "cuckoo")) {
+      val a = urls(3000, s"$kind-a")
+      val shards = ShardStore.build(a.toDS(), numShards = 8, kind = kind,
+        expectedItemsPerShard = 1024, fpp = 0.01).persist()
+      val b = urls(3000, s"$kind-b")
+      val updated = ShardStore.update(shards, b.toDS()).persist()
+      val pairs = (a ++ b).map(u => (u, "h")).toDS()
+      val probed = ShardStore.probe(pairs, updated).collect()
+      assert(probed.length == a.size + b.size)
+      assert(probed.forall(_._3), s"$kind: false negative after build+update")
+      // FP rate on disjoint probes stays low (sketch actually prunes)
+      val out = urls(6000, s"$kind-z").map(u => (u, "h")).toDS()
+      val fp = ShardStore.probe(out, updated).collect().count(_._3)
+      assert(fp < 6000 * 0.05, s"$kind: fp=$fp — sketch prunes nothing")
+      // parent shards untouched (RDD immutability: updates copy) — the
+      // persisted parent must NOT know b's urls
+      val parentProbe = ShardStore.probe(b.map(u => (u, "h")).toDS(), shards)
+        .collect().count(_._3)
+      assert(parentProbe < b.size / 2,
+        s"$kind: update mutated its persisted parent in place ($parentProbe/${b.size})")
+      shards.unpersist(); updated.unpersist()
+    }
+  }
+
+  test("ShardStore: cuckoo delete removes; bloom delete is identity (stale-bit FPs)") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    import graft.functions.ShardStore
+    val in = urls(2000, "sd")
+    val victims = in.take(200)
+    for (kind <- Seq("bloom", "cuckoo")) {
+      val shards = ShardStore.build(in.toDS(), 4, kind, 1024, 0.01).persist()
+      val after = ShardStore.update(shards, victims.toDS(), delete = true).persist()
+      val probed = ShardStore.probe(in.map(u => (u, "h")).toDS(), after)
+        .collect().map(t => t._1 -> t._3).toMap
+      // survivors: never a false negative, either flavour
+      assert(in.drop(200).forall(probed(_)), s"$kind: survivor lost by delete")
+      if (kind == "cuckoo") {
+        val remaining = victims.count(probed(_))
+        assert(remaining < 20, s"cuckoo: $remaining/200 victims still maybe-seen")
+      } else {
+        assert(victims.forall(probed(_)), "bloom delete must keep stale bits")
+      }
+      shards.unpersist(); after.unpersist()
+    }
+  }
+
+  test("ShardStore: degraded shards rebuild alone with grown geometry, invariant intact") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    import graft.functions.{BloomSeenShard, CuckooSeenShard, ShardStore}
+    val in = urls(4000, "rg")
+    for (kind <- Seq("bloom", "cuckoo")) {
+      // designed for 64/shard, fed 1000/shard ⇒ every shard degrades
+      val shards = ShardStore.build(in.toDS(), 4, kind, 64, 0.01).persist()
+      val degraded = shards.filter(_.needsRebuild(0.47)).count()
+      assert(degraded > 0, s"$kind: expected degradation at 15x design load")
+      // degraded shards stay CONSERVATIVE: a tainted cuckoo answers maybe
+      // for everything; a saturated bloom approaches all-ones — neither may
+      // lose an inserted url, ever
+      val degradedProbe = ShardStore.probe(in.map(u => (u, "h")).toDS(), shards).collect()
+      assert(degradedProbe.forall(_._3), s"$kind: degraded shard lost a url")
+      val healthy = ShardStore.rebuildDegraded(shards, in.toDS(), 0.47, 0.01).persist()
+      assert(healthy.filter(_.needsRebuild(0.47)).count() == 0,
+        s"$kind: shards still degraded after count-sized rebuild")
+      val probed = ShardStore.probe(in.map(u => (u, "h")).toDS(), healthy).collect()
+      assert(probed.forall(_._3), s"$kind: rebuild leaked a false negative")
+      // items stayed exact through the rebuild
+      val items = healthy.map(_.items).collect().sum
+      assert(items == in.size.toLong, s"$kind: items=$items != ${in.size}")
+      healthy.collect().foreach {
+        case b: BloomSeenShard  => assert(b.sketch.fillRatio <= 0.47)
+        case c: CuckooSeenShard => assert(!c.tainted)
+      }
+      shards.unpersist(); healthy.unpersist()
+    }
+  }
+
+  test("ShardStore: per-shard checkpoint files round-trip through write + load") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    import graft.functions.ShardStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-shardstore").toString
+    val in = urls(2000, "wf")
+    for (kind <- Seq("bloom", "cuckoo")) {
+      val d = s"$dir/$kind"
+      val shards = ShardStore.build(in.toDS(), 4, kind, 1024, 0.01)
+      val meta = ShardStore.write(shards, d)
+      assert(meta.map(_._1).sorted == Seq(0, 1, 2, 3))
+      assert(meta.map(_._2).sum == in.size.toLong) // exact items metadata
+      val loaded = ShardStore.load(spark, d, 4).get
+      val probed = ShardStore.probe(in.map(u => (u, "h")).toDS(), loaded).collect()
+      assert(probed.forall(_._3), s"$kind: loaded shards lost urls")
+      // incomplete dir (wrong shard count) refuses to load — the resume
+      // path must fall back to rebuild-from-seen, not probe a partial sketch
+      assert(ShardStore.load(spark, d, 8).isEmpty)
+    }
   }
 }
