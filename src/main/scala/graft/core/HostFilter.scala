@@ -37,7 +37,8 @@ object HostFilter {
  * robots handling; SURVEY.md §7.1). User-agent `*` rules only: longest-prefix
  * match wins; Allow beats Disallow on equal length; empty Disallow = allow all.
  */
-final case class RobotsRules(allows: Seq[String], disallows: Seq[String]) extends Serializable {
+final case class RobotsRules(allows: Seq[String], disallows: Seq[String],
+    crawlDelay: Option[Int] = None) extends Serializable {
   def isAllowed(path: String): Boolean = {
     val a = allows.filter(path.startsWith).map(_.length).maxOption.getOrElse(-1)
     val d = disallows.filter(p => p.nonEmpty && path.startsWith(p)).map(_.length).maxOption.getOrElse(-1)
@@ -68,12 +69,16 @@ object Robots {
 object RobotsRules {
   val allowAll: RobotsRules = RobotsRules(Nil, Nil)
 
-  /** Parse a robots.txt body, keeping only `User-agent: *` groups. */
+  /** Parse a robots.txt body, keeping only `User-agent: *` groups.
+   * `Crawl-delay` (non-standard but widely honoured) parses as a positive
+   * number of politeness windows, ceiling'd — fractional delays round UP
+   * (politer than requested, never ruder). */
   def parse(body: String): RobotsRules = {
     var inStar = false
     var sawAgent = false
     val allows = Seq.newBuilder[String]
     val disallows = Seq.newBuilder[String]
+    var delay: Option[Int] = None
     body.linesIterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
       val i = line.indexOf(':')
       if (i > 0 && !line.startsWith("#")) {
@@ -86,10 +91,13 @@ object RobotsRules {
             sawAgent = true
           case "allow" if inStar    => if (value.nonEmpty) allows += value
           case "disallow" if inStar => if (value.nonEmpty) disallows += value
+          case "crawl-delay" if inStar =>
+            delay = value.toDoubleOption.filter(_ > 0)
+              .map(d => math.ceil(d).toInt)
           case _ => ()
         }
       }
     }
-    RobotsRules(allows.result(), disallows.result())
+    RobotsRules(allows.result(), disallows.result(), delay)
   }
 }

@@ -20,7 +20,10 @@ final case class CorpusConfig(
     numHosts: Int = 100,
     /** pages on the largest host; host at Zipf rank r gets ~maxPages/(r+1). */
     maxPages: Int = 200,
-    robotsEveryNthHost: Int = 4
+    robotsEveryNthHost: Int = 4,
+    /** Every Nth host declares a robots `Crawl-delay` (0 = none, the
+     * default — existing fixtures and oracles are delay-free). */
+    delayEveryNthHost: Int = 0
 )
 
 object CorpusGen {
@@ -73,6 +76,24 @@ object CorpusGen {
   /** (host, disallow_prefix) rows for the whole corpus. */
   def robotsTable(cfg: CorpusConfig): Seq[(String, String)] =
     (0 until cfg.numHosts).flatMap(h => robotsDisallows(cfg, h).map(d => hostName(h) -> d))
+
+  /** Robots `Crawl-delay` of host h in POLITENESS WINDOWS (one BSP generation
+   * = one window): a host with delay d fetches at most 1 URL per d
+   * generations. 0 = no delay. Deterministic 2..4 on every Nth host. */
+  def crawlDelayOf(cfg: CorpusConfig, h: Int): Int =
+    if (cfg.delayEveryNthHost > 0 && h % cfg.delayEveryNthHost == 0)
+      2 + (h / cfg.delayEveryNthHost) % 3
+    else 0
+
+  /** (host, delay) rows for every delayed host — the politeness ground truth
+   * the corpus fetch modes consult a priori (Http mode learns the same
+   * values from fetched robots.txt via the robots cache). */
+  def delayTable(cfg: CorpusConfig): Seq[(String, Int)] =
+    if (cfg.delayEveryNthHost <= 0) Nil
+    else (0 until cfg.numHosts).flatMap { h =>
+      val d = crawlDelayOf(cfg, h)
+      if (d > 0) Some(hostName(h) -> d) else None
+    }
 
   // --- page content ----------------------------------------------------------
   private val Vocab: Array[String] = Array(

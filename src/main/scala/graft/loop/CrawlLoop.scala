@@ -61,6 +61,16 @@ object CrawlLoop {
     val docs: Dataset[Document] = CorpusTables.documents(spark, cfg.corpus)
     import spark.implicits._
 
+    // politeness Crawl-delay ground truth (corpus fetch modes know it a
+    // priori; Http mode learns the same values from fetched robots.txt).
+    // None when the corpus declares no delays — zero plan overhead.
+    val delaysDf: Option[DataFrame] =
+      if (!cfg.useRobots) None
+      else {
+        val dt = graft.corpus.CorpusGen.delayTable(cfg.corpus)
+        if (dt.isEmpty) None else Some(dt.toDF("host", "delay"))
+      }
+
     val useSketch = cfg.useBloomPrefilter && cfg.seenSketch != "none"
     val shardsN = math.max(1, cfg.sketchShards)
     val perShardExpected = math.max(64L, cfg.bloomExpectedItems / shardsN)
@@ -180,7 +190,18 @@ object CrawlLoop {
         if (!useSketch) SeenPrefilter.Off
         else shards.map(SeenPrefilter.Sharded(_)).getOrElse(SeenPrefilter.Off)
 
-      val res = FrontierStep.step(spark, frontier, seen, prefilter, docs, cfg, prevGen)
+      // host-level delay windows carried from the previous generation
+      val priorHostNext: Option[DataFrame] =
+        if (delaysDf.isEmpty) None
+        else {
+          val d = io.genDir("host_next", prevGen)
+          if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+            Some(spark.read.parquet(d))
+          else None
+        }
+
+      val res = FrontierStep.step(spark, frontier, seen, prefilter, docs, cfg,
+        prevGen, delaysDf, priorHostNext)
 
       // ---- the "fanout exchange" write: discovered computed once, two readers;
       //      all counts observed on the writes themselves (no extra scans)
@@ -216,6 +237,14 @@ object CrawlLoop {
       res.archive.foreach { a =>
         stageMetrics.labelled(gen, "archive_write") {
           a.write.mode("overwrite").parquet(io.genDir("archive", gen))
+        }
+      }
+
+      // ---- crawl-delay host windows for the next generation (tiny table:
+      // one row per delayed host with an open window)
+      res.hostNext.foreach { hn =>
+        stageMetrics.labelled(gen, "host_next_write") {
+          hn.write.mode("overwrite").parquet(io.genDir("host_next", gen))
         }
       }
 

@@ -85,7 +85,11 @@ final case class StepResult(
     /** Per-stage row counts (A1/A2), populated once an action evaluates the
      * pipeline: extracted links, post-dedup candidates, post-filter allowed.
      * The observations ride the main job — no extra scans. */
-    stageObservations: Map[String, org.apache.spark.sql.Observation] = Map.empty
+    stageObservations: Map[String, org.apache.spark.sql.Observation] = Map.empty,
+    /** (host, next_fetch) — earliest generation each crawl-delayed host may
+     * fetch again; None when the delay feature is inactive. The caller
+     * persists it per generation and feeds it back as `priorHostNext`. */
+    hostNext: Option[DataFrame] = None
 )
 
 /**
@@ -139,11 +143,24 @@ object FrontierStep {
       prefilter: SeenPrefilter,
       docs: Dataset[Document],
       cfg: CrawlConfig,
-      gen: Int): StepResult = {
+      gen: Int,
+      /** (host, delay) — robots Crawl-delay per host in politeness windows;
+       * None disables delay handling (zero plan overhead). */
+      delays: Option[DataFrame] = None,
+      /** (host, next_fetch) carried from the previous generation — stamps
+       * NEW tasks of hosts whose delay window is still open (their existing
+       * tasks already carry the stamp; a brand-new link to the same host
+       * must not sneak in early). */
+      priorHostNext: Option[DataFrame] = None): StepResult = {
     import spark.implicits._
 
-    // --- O1: politeness priority-queue cap, skew-salted -----------------------
-    val marked = Politeness.markTopKPerHost(frontier, cfg.perHostCap, cfg.saltBuckets)
+    // --- O1: politeness priority-queue cap, skew-salted, delay-aware ----------
+    val delaysActive = delays.isDefined || priorHostNext.isDefined
+    val marked = (if (!delaysActive)
+        Politeness.markTopKPerHost(frontier, cfg.perHostCap, cfg.saltBuckets)
+      else
+        Politeness.markEligibleTopK(frontier, cfg.perHostCap, cfg.saltBuckets,
+          gen.toLong, delays))
       .persist()
     // Skew-break (north_rule "skewed-host salting to break hot-domain
     // partitions"): the politeness window leaves rows HOST-partitioned, so a
@@ -390,12 +407,40 @@ object FrontierStep {
     val carried = deferred.select(col("url"), col("host"), col("priority"),
       col("next_fetch"), col("retry_count"), col("gen"))
 
-    val nextFrontier =
+    val nextFrontierRaw =
       if (cfg.requeueRejects) newTasks.unionByName(carried).unionByName(rejects)
       else newTasks.unionByName(carried)
 
+    // --- crawl-delay bookkeeping (north_rule "per-host politeness delays"):
+    // hosts fetched this generation with Crawl-delay d may not fetch again
+    // before gen + d. The host-level state (tiny: one row per delayed host
+    // with an open window) is authoritative for NEW tasks; every task row in
+    // the next frontier gets next_fetch = max(own, host window) in ONE
+    // host-keyed join — the optimizer broadcasts the small side.
+    val hostNextUpdated: Option[DataFrame] = {
+      val fetchedDelayed = delays.map { d =>
+        marked.filter(col("selected")).select("host").distinct()
+          .join(d.select(col("host"), col("delay")), Seq("host"))
+          .select(col("host"),
+            (lit(gen.toLong) + col("delay").cast("long")).as("next_fetch"))
+      }
+      val stillOpen = priorHostNext.map(_.filter(col("next_fetch") > gen.toLong))
+      (stillOpen.toSeq ++ fetchedDelayed.toSeq).reduceOption(_ unionByName _)
+        .map(_.groupBy("host").agg(max("next_fetch").as("next_fetch")))
+    }
+    val nextFrontier = hostNextUpdated match {
+      case None => nextFrontierRaw
+      case Some(hn) =>
+        nextFrontierRaw
+          .join(hn.withColumnRenamed("next_fetch", "_hnf"), Seq("host"), "left")
+          .withColumn("next_fetch",
+            greatest(col("next_fetch"), coalesce(col("_hnf"), lit(0L))))
+          .drop("_hnf")
+    }
+
     StepResult(nextFrontier, discovered, outcomes, archive,
-      Map("links" -> obsLinks, "candidates" -> obsCandidates, "allowed" -> obsAllowed))
+      Map("links" -> obsLinks, "candidates" -> obsCandidates, "allowed" -> obsAllowed),
+      hostNext = hostNextUpdated)
   }
 
   /** Deterministic task priority ∈ [0,10) — pure, shared with the oracle. */

@@ -60,4 +60,36 @@ object Politeness {
       .drop("_salt", "_rn1", "_rn2")
     under.unionByName(overMarked)
   }
+
+  /** Crawl-delay-aware selection (north_rule "per-host politeness delays"
+   * via the (priority, next-fetch-time) queue key):
+   *
+   *  - a task whose `next_fetch` generation hasn't arrived (`next_fetch >
+   *    gen`) is INELIGIBLE — deferred untouched;
+   *  - an eligible task of a host with robots `Crawl-delay` d competes under
+   *    an effective cap of 1 (one politeness window = one generation, so a
+   *    delayed host fetches ≤1 URL per window and the caller stamps its
+   *    remaining tasks `next_fetch = gen + d` — ≤1 URL per d generations);
+   *  - everything else takes the normal per-host top-k.
+   *
+   * `delays` is (host, delay ≥ 1); None ⇒ only the eligibility split runs.
+   * The delay join is host-keyed and tiny-sided — the optimizer broadcasts
+   * it at any realistic delayed-host count. */
+  def markEligibleTopK(tasks: DataFrame, k: Int, saltBuckets: Int, gen: Long,
+      delays: Option[DataFrame]): DataFrame = {
+    val ineligible = tasks.filter(col("next_fetch") > gen)
+      .withColumn("selected", lit(false))
+    val eligible = tasks.filter(col("next_fetch") <= gen)
+    val markedEligible = delays match {
+      case None => markTopKPerHost(eligible, k, saltBuckets)
+      case Some(d) =>
+        val dl = d.select(col("host"), col("delay"))
+        val tagged = eligible.join(dl, Seq("host"), "left")
+        val delayed = tagged.filter(col("delay") >= 1).drop("delay")
+        val normal = tagged.filter(col("delay").isNull || col("delay") < 1).drop("delay")
+        markTopKPerHost(normal, k, saltBuckets)
+          .unionByName(markTopKPerHost(delayed, 1, saltBuckets))
+    }
+    markedEligible.unionByName(ineligible)
+  }
 }

@@ -33,6 +33,11 @@ object SeqCrawler {
       if (cfg.useRobots)
         CorpusGen.robotsTable(cfg.corpus).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       else Map.empty
+    // robots Crawl-delay per host (politeness windows) + the per-host open
+    // delay window — mirrors the engine's delays df + host_next table
+    val delays: Map[String, Int] =
+      if (cfg.useRobots) CorpusGen.delayTable(cfg.corpus).toMap else Map.empty
+    val hostNext = mutable.Map.empty[String, Long]
 
     val seenGen = mutable.LinkedHashMap.empty[String, Int]
     val outcomes = Seq.newBuilder[(Int, String, String, String)]
@@ -53,15 +58,20 @@ object SeqCrawler {
         victims.foreach(seenGen.remove)
       }
 
-      // O1: per-host priority-queue cap — top-k by (priority, next_fetch, url)
+      // O1: per-host priority-queue cap — top-k by (priority, next_fetch,
+      // url). Crawl-delay semantics: a task whose next_fetch generation
+      // hasn't arrived is ineligible; a delayed host's effective cap is 1
+      // (one fetch per politeness window ⇒ ≤1 URL per d generations).
       val (selected, deferred) = {
         val byHost = frontier.groupBy(_.host)
         val sel = mutable.ArrayBuffer.empty[OTask]
         val defe = mutable.ArrayBuffer.empty[OTask]
-        byHost.toSeq.sortBy(_._1).foreach { case (_, ts) =>
+        byHost.toSeq.sortBy(_._1).foreach { case (host, ts) =>
           val sorted = ts.sortBy(t => (t.priority, t.nextFetch, t.url))
-          sel ++= sorted.take(cfg.perHostCap)
-          defe ++= sorted.drop(cfg.perHostCap)
+          val (eligible, ineligible) = sorted.partition(_.nextFetch <= gen.toLong)
+          val cap = if (delays.getOrElse(host, 0) >= 1) 1 else cfg.perHostCap
+          sel ++= eligible.take(cap)
+          defe ++= eligible.drop(cap) ++ ineligible
         }
         (sel.toVector, defe.toVector)
       }
@@ -106,7 +116,16 @@ object SeqCrawler {
             .map(t => t.copy(retryCount = t.retryCount + 1))
         else Vector.empty
 
-      frontier = newTasks ++ deferred ++ requeued
+      // crawl-delay bookkeeping, mirroring the engine: hosts fetched this
+      // generation with delay d close their window until gen + d, dropped
+      // once stale; every next-frontier task is stamped with its host's
+      // open window (max with its own next_fetch)
+      hostNext.filterInPlace((_, nf) => nf > gen.toLong)
+      selected.iterator.map(_.host).distinct.foreach { h =>
+        delays.get(h).filter(_ >= 1).foreach(d => hostNext(h) = gen.toLong + d)
+      }
+      frontier = (newTasks ++ deferred ++ requeued).map(t =>
+        t.copy(nextFetch = math.max(t.nextFetch, hostNext.getOrElse(t.host, 0L))))
       gen += 1
     }
     OracleResult(seenGen.toMap, outcomes.result())

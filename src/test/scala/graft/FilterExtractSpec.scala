@@ -88,6 +88,28 @@ class FilterExtractSpec extends AnyFunSuite {
     // the evilbot group must not leak into *
     assert(r.isAllowed("/"))
   }
+  test("robots: Crawl-delay parses from the * group only; fractional rounds UP") {
+    val r = RobotsRules.parse(
+      """User-agent: *
+        |Crawl-delay: 2
+        |Disallow: /x
+        |
+        |User-agent: evilbot
+        |Crawl-delay: 99
+        |""".stripMargin)
+    assert(r.crawlDelay.contains(2))
+    assert(!r.isAllowed("/x7"))
+    // fractional delays round UP (politer than requested, never ruder)
+    assert(RobotsRules.parse("User-agent: *\nCrawl-delay: 0.5")
+      .crawlDelay.contains(1))
+    // junk / non-positive / absent ⇒ None
+    assert(RobotsRules.parse("User-agent: *\nCrawl-delay: soon").crawlDelay.isEmpty)
+    assert(RobotsRules.parse("User-agent: *\nCrawl-delay: 0").crawlDelay.isEmpty)
+    assert(RobotsRules.parse("User-agent: *\nDisallow: /x").crawlDelay.isEmpty)
+    // a delay in a foreign group must not leak into *
+    assert(RobotsRules.parse("User-agent: evilbot\nCrawl-delay: 9").crawlDelay.isEmpty)
+  }
+
   test("robots prefix helper matches UDF semantics") {
     assert(Robots.pathOf("http://h1.example/x7") == "/x7")
     assert(Robots.pathOf("http://h1.example") == "")
