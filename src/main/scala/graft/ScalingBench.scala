@@ -11,20 +11,56 @@ import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
  * (N and 4N, e.g. 2/8 or 8/32) on this SAME fixed input; efficiency =
  * (throughput@4N / throughput@N) / 4. Results + analysis in BENCH.md.
  *
+ * `SPARK_GRAFT_MASTER=local-cluster[W,C,MB]` switches to EXECUTOR-ISOLATED
+ * measurement: a standalone master + W workers in-process, each launching a
+ * separate C-core executor JVM (own heap, own GC) — the closest spark-submit
+ * analogue a single box allows, and the honest way to evidence the
+ * north_rule N→4N criterion without thread-packed heap contention.
+ * Requires SPARK_HOME=/opt/spark and SPARK_GRAFT_JARS=<path to the sbt
+ * package jar> so executors can load the graft classes.
+ *
  * `pure` mode (first arg "pure") instead measures the raw fetch+extract+
  * canonicalize hot path on plain threads (no Spark) — the per-core compute
  * ceiling of this machine.
  */
 object ScalingBench {
+
+  /** JDK17 module opens Spark 4 needs in every executor JVM (the build
+   * injects them into the driver; spark-submit would inject both). */
+  private val AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("pure")) { purePath(); return }
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val isCluster = master.startsWith("local-cluster[")
+    val totalCores =
+      if (!isCluster) cpus.toInt
+      else {
+        val p = master.stripPrefix("local-cluster[").stripSuffix("]").split(",")
+        p(0).trim.toInt * p(1).trim.toInt
+      }
     val builder = org.apache.spark.sql.SparkSession.builder()
-      .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)
+      .master(master).config("spark.sql.shuffle.partitions", totalCores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.ui.enabled", "false")
+    if (isCluster) {
+      builder.config("spark.executor.extraJavaOptions",
+        s"$AddOpens -XX:+UseParallelGC")
+      builder.config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "6g"))
+      sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
+    }
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
@@ -55,7 +91,8 @@ object ScalingBench {
       s""""max_task_ms":${r.max_task_ms},"straggle":${if (mean == 0) 0.0 else r.max_task_ms.toDouble / mean},""" +
       s""""shuffle_read_mb":${r.shuffle_read_bytes / 1048576},"shuffle_write_mb":${r.shuffle_write_bytes / 1048576}}"""
     }.mkString("[", ",", "]")
-    println(s"""{"bench":"steady_state_generation","cpus":$cpus,""" +
+    println(s"""{"bench":"steady_state_generation","master":"$master",""" +
+      s""""total_cores":$totalCores,""" +
       s""""fetched":$fetched,"discovered":$discovered,"wall_sec":$sec,""" +
       s""""urls_fetched_per_sec":${fetched / sec},""" +
       s""""frontier_dedup_per_sec":${discovered / sec},""" +

@@ -42,4 +42,34 @@ object Extract {
   def linksFromHtml(baseUrl: String, body: Array[Byte]): Seq[String] =
     UrlCanon.decodeUtf8(body).toSeq.flatMap(h =>
       rawHrefs(h).flatMap(resolveLink(baseUrl, _)))
+
+  // interleaved span scan: <p>text</p> | <img src=...> | <a href=...>text</a>
+  // in document order; href-less anchors produce no match (html.rs:97-120)
+  private val SpanTag = (
+    """(?is)<p>(.*?)</p>""" +
+    """|<img\b[^>]*?\bsrc\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))[^>]*>""" +
+    """|<a\b[^>]*?\bhref\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))[^>]*>(.*?)</a>""").r
+
+  /** Parse an HTML body into the interleaved span model (input_hint shape):
+   * paragraphs → text spans, images → media spans, hrefed anchors → link
+   * spans (raw href in `media_ref`), offsets dense from 0 in document
+   * order — the inverse of the corpus serializer (CorpusGen.pageHtml), so an
+   * HTTP-fetched page archives the exact span sequence the durable corpus
+   * would store (per-row span-sequence invariant). */
+  def spansFromHtml(html: String): Seq[Span] = {
+    val out = Seq.newBuilder[Span]
+    var off = 0
+    SpanTag.findAllMatchIn(html).foreach { m =>
+      if (m.group(1) != null) {
+        out += Span(Span.Text, m.group(1), "", off); off += 1
+      } else if (m.group(2) != null) {
+        val src = Option(m.group(3)).orElse(Option(m.group(4))).getOrElse(m.group(5))
+        out += Span(Span.Media, "", src, off); off += 1
+      } else {
+        val href = Option(m.group(7)).orElse(Option(m.group(8))).getOrElse(m.group(9))
+        out += Span(Span.Link, m.group(10), href, off); off += 1
+      }
+    }
+    out.result()
+  }
 }

@@ -61,15 +61,24 @@ object CrawlLoop {
     val docs: Dataset[Document] = CorpusTables.documents(spark, cfg.corpus)
     import spark.implicits._
 
-    // politeness Crawl-delay ground truth (corpus fetch modes know it a
-    // priori; Http mode learns the same values from fetched robots.txt).
-    // None when the corpus declares no delays — zero plan overhead.
-    val delaysDf: Option[DataFrame] =
-      if (!cfg.useRobots) None
+    // politeness Crawl-delay source: corpus fetch modes know it a priori;
+    // Http mode learns it from robots.txt fetched over the wire, remembered
+    // in the durable robots cache. None when inactive — zero plan overhead.
+    val isHttp = cfg.fetchMode match {
+      case _: graft.operators.FetchMode.Http => true
+      case _ => false
+    }
+    val staticDelaysDf: Option[DataFrame] =
+      if (!cfg.useRobots || isHttp) None
       else {
         val dt = graft.corpus.CorpusGen.delayTable(cfg.corpus)
         if (dt.isEmpty) None else Some(dt.toDF("host", "delay"))
       }
+    /** Robots cache accumulated through generation `upTo` (Http mode). */
+    def robotsCacheDf(upTo: Int): Option[DataFrame] = {
+      val dirs = io.deltaDirs("robots", upTo)
+      if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+    }
 
     val useSketch = cfg.useBloomPrefilter && cfg.seenSketch != "none"
     val shardsN = math.max(1, cfg.sketchShards)
@@ -190,18 +199,25 @@ object CrawlLoop {
         if (!useSketch) SeenPrefilter.Off
         else shards.map(SeenPrefilter.Sharded(_)).getOrElse(SeenPrefilter.Off)
 
+      // per-generation delay table: static corpus ground truth, or the
+      // delayed hosts remembered in the robots cache (Http mode)
+      val robotsCache: Option[DataFrame] =
+        if (isHttp && cfg.useRobots) robotsCacheDf(prevGen) else None
+      val delaysDf: Option[DataFrame] =
+        if (isHttp) robotsCache.map(_.filter(col("delay") >= 1).select("host", "delay"))
+        else staticDelaysDf
+
       // host-level delay windows carried from the previous generation
-      val priorHostNext: Option[DataFrame] =
-        if (delaysDf.isEmpty) None
-        else {
-          val d = io.genDir("host_next", prevGen)
-          if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
-            Some(spark.read.parquet(d))
-          else None
-        }
+      val priorHostNext: Option[DataFrame] = {
+        val d = io.genDir("host_next", prevGen)
+        if ((delaysDf.isDefined || isHttp) &&
+            java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+          Some(spark.read.parquet(d))
+        else None
+      }
 
       val res = FrontierStep.step(spark, frontier, seen, prefilter, docs, cfg,
-        prevGen, delaysDf, priorHostNext)
+        prevGen, delaysDf, priorHostNext, robotsCache)
 
       // ---- the "fanout exchange" write: discovered computed once, two readers;
       //      all counts observed on the writes themselves (no extra scans)
@@ -245,6 +261,14 @@ object CrawlLoop {
       res.hostNext.foreach { hn =>
         stageMetrics.labelled(gen, "host_next_write") {
           hn.write.mode("overwrite").parquet(io.genDir("host_next", gen))
+        }
+      }
+
+      // ---- robots cache append (Http mode): this generation's cache-miss
+      // fetches become a durable delta — each host pays its robots RTT once
+      res.newRobots.foreach { nr =>
+        stageMetrics.labelled(gen, "robots_write") {
+          nr.write.mode("overwrite").parquet(io.genDir("robots", gen))
         }
       }
 

@@ -66,9 +66,10 @@ final case class CrawlConfig(
     /** Archive fetched page payloads (url + span sequence) into a durable
      * per-generation `archive` table — the reference's non-default archive
      * path made real (archive/rmq.rs:29-43 publishes payload bytes; the
-     * default Void archive, void.rs:7-11, remains `false`). Supported by the
-     * CorpusJoin and Generator fetch modes; Http mode stays Void (the body
-     * is deliberately dropped inside the fetch partition). */
+     * default Void archive, void.rs:7-11, remains `false`). All three fetch
+     * modes supported; in Http mode the spans are parsed INSIDE the fetch
+     * partition (Extract.spansFromHtml), so the raw body still never leaves
+     * it. */
     archiveFetched: Boolean = false
 )
 
@@ -89,7 +90,11 @@ final case class StepResult(
     /** (host, next_fetch) — earliest generation each crawl-delayed host may
      * fetch again; None when the delay feature is inactive. The caller
      * persists it per generation and feeds it back as `priorHostNext`. */
-    hostNext: Option[DataFrame] = None
+    hostNext: Option[DataFrame] = None,
+    /** (host, disallows, delay) — robots rules fetched over the wire THIS
+     * generation (Http mode, cache misses only). The caller appends them to
+     * the durable robots cache and feeds the union back as `robotsCache`. */
+    newRobots: Option[DataFrame] = None
 )
 
 /**
@@ -151,7 +156,11 @@ object FrontierStep {
        * NEW tasks of hosts whose delay window is still open (their existing
        * tasks already carry the stamp; a brand-new link to the same host
        * must not sneak in early). */
-      priorHostNext: Option[DataFrame] = None): StepResult = {
+      priorHostNext: Option[DataFrame] = None,
+      /** (host, disallows, delay) robots cache accumulated over previous
+       * generations (Http mode): only cache-miss hosts get a robots.txt GET
+       * this generation — at 10^6 hosts the cache saves 10^6 RTTs/gen. */
+      robotsCache: Option[DataFrame] = None): StepResult = {
     import spark.implicits._
 
     // --- O1: politeness priority-queue cap, skew-salted, delay-aware ----------
@@ -206,9 +215,11 @@ object FrontierStep {
         // production shape: fetch + extract + normalise as ONE mapPartitions
         // (one pooled client per partition, downloader.rs:13-21); the page
         // body never leaves the partition — only the per-page-deduped
-        // canonical (url, host) pairs and the outcome do. PERSISTED: the
-        // outcomes / links / rejects branches must not re-fetch the network.
+        // canonical (url, host) pairs, the outcome, and (when archiving) the
+        // parsed span sequence do. PERSISTED: the outcomes / links / rejects
+        // branches must not re-fetch the network.
         val rw = rewrite
+        val doArchive = cfg.archiveFetched
         fetchable
           .select("url", "host", "priority", "next_fetch", "retry_count", "gen")
           .as[graft.model.Task]
@@ -216,10 +227,10 @@ object FrontierStep {
             lazy val client = graft.sources.HttpFetcher.newClient(cTo)
             it.map { tk =>
               val r = graft.sources.HttpFetcher.fetchOne(client, rw(tk.url), rTo)
-              val (outcome, links) =
-                if (r.outcome != Outcome.Ok) (r.outcome, Nil)
+              val (outcome, links, spans) =
+                if (r.outcome != Outcome.Ok) (r.outcome, Nil, Nil)
                 else graft.core.UrlCanon.decodeUtf8(r.body) match {
-                  case None => (Outcome.Err, Nil) // undecodable page ⇒ Parsing error (errors.rs:122-140)
+                  case None => (Outcome.Err, Nil, Nil) // undecodable page ⇒ Parsing error (errors.rs:122-140)
                   case Some(html) =>
                     val inPage = new java.util.HashSet[String]()
                     val ls = graft.core.Extract.rawHrefs(html).iterator.flatMap { href =>
@@ -228,14 +239,19 @@ object FrontierStep {
                         case _ => Iterator.empty
                       }
                     }.toSeq
-                    (Outcome.Ok, ls)
+                    // archive path (S7): the durable span parse happens HERE,
+                    // inside the fetch partition — the raw body still never
+                    // leaves it (archive/rmq.rs:29-43 analogue)
+                    val sp = if (doArchive) graft.core.Extract.spansFromHtml(html)
+                             else Nil
+                    (Outcome.Ok, ls, sp)
                 }
               (tk.url, tk.host, tk.priority, tk.next_fetch, tk.retry_count, tk.gen,
-                outcome, links)
+                outcome, links, spans)
             }
           }
           .toDF("url", "host", "priority", "next_fetch", "retry_count", "gen",
-            "outcome", "links")
+            "outcome", "links", "spans")
           .persist()
     }
 
@@ -255,7 +271,10 @@ object FrontierStep {
                 case _ => Iterator.empty
               })
             }.toDF())
-        case _: FetchMode.Http => None // stays Void: body dropped in-partition
+        case _: FetchMode.Http =>
+          // spans were parsed inside the fetch partition (body never left it)
+          Some(fetched.filter(col("outcome") === Outcome.Ok)
+            .select(col("url").as("doc_id"), col("spans")))
       }
 
     val outcomes = fetched.select(lit(gen).as("gen"), col("url"), col("outcome"),
@@ -329,33 +348,49 @@ object FrontierStep {
     val keepHost = udf((h: String) => hostFilter.keep(if (h == null) "" else h))
     val obsAllowed = new org.apache.spark.sql.Observation(s"allowed_g$gen")
     val hostFiltered = candidatesObs.filter(keepHost(col("host")))
+    var newRobotsOut: Option[DataFrame] = None
     val robotsFiltered =
       if (!cfg.useRobots) hostFiltered
       else cfg.fetchMode match {
         case FetchMode.Http(rewrite, cTo, rTo) =>
-          // REAL robots: GET http://host/robots.txt once per distinct
-          // candidate host this generation (the host set is tiny vs the
-          // candidate set; a production deployment adds a persistent robots
-          // cache table keyed by host+fetch time). Missing/unreachable
-          // robots ⇒ allow-all (standard lenient behaviour).
+          // REAL robots over the wire, cached across generations: only hosts
+          // missing from the durable robots cache get a GET this generation,
+          // and only hosts that SURVIVED the white/blacklist — the crawler
+          // never contacts a host it is configured to avoid. Missing/
+          // unreachable robots ⇒ allow-all (standard lenient behaviour),
+          // cached as such so the 404 is also paid once.
           val rw = rewrite
-          val rules = candidates.select("host").distinct().as[String]
+          val hostsNeeded = hostFiltered.select("host").distinct()
+          val missingHosts = robotsCache match {
+            case Some(c) => hostsNeeded.join(c.select("host"), Seq("host"), "left_anti")
+            case None    => hostsNeeded
+          }
+          val fetchedRules = missingHosts.as[String]
             .mapPartitions { it =>
               lazy val client = graft.sources.HttpFetcher.newClient(cTo)
               it.map { h =>
                 val r = graft.sources.HttpFetcher.fetchOne(
                   client, rw(s"http://$h/robots.txt"), rTo)
-                val disallows =
-                  if (r.outcome != Outcome.Ok) Seq.empty[String]
+                val rules =
+                  if (r.outcome != Outcome.Ok) graft.core.RobotsRules.allowAll
                   else graft.core.UrlCanon.decodeUtf8(r.body)
-                    .map(b => graft.core.RobotsRules.parse(b).disallows)
-                    .getOrElse(Seq.empty[String])
-                (h, disallows)
+                    .map(graft.core.RobotsRules.parse)
+                    .getOrElse(graft.core.RobotsRules.allowAll)
+                (h, rules.disallows, rules.crawlDelay.getOrElse(0))
               }
-            }.toDF("host", "disallows")
+            }.toDF("host", "disallows", "delay")
+            .persist() // read twice: the filter join below + the cache append
+          newRobotsOut = Some(fetchedRules)
+          // rules relevant THIS generation: the cache rows for needed hosts
+          // (semi-join prune — the broadcast side never grows past this
+          // gen's host set) plus the fresh fetches
+          val rules = (robotsCache
+              .map(_.join(hostsNeeded, Seq("host"), "left_semi")).toSeq :+
+              fetchedRules.toDF())
+            .reduce(_ unionByName _)
           val robotsAllowed = udf((ds: Seq[String], url: String) =>
             graft.core.Robots.allowed(if (ds == null) Nil else ds, url))
-          hostFiltered.join(broadcast(rules), Seq("host"), "left")
+          hostFiltered.join(broadcast(rules.select("host", "disallows")), Seq("host"), "left")
             .filter(robotsAllowed(col("disallows"), col("url")))
             .drop("disallows")
         case _ =>
@@ -440,7 +475,7 @@ object FrontierStep {
 
     StepResult(nextFrontier, discovered, outcomes, archive,
       Map("links" -> obsLinks, "candidates" -> obsCandidates, "allowed" -> obsAllowed),
-      hostNext = hostNextUpdated)
+      hostNext = hostNextUpdated, newRobots = newRobotsOut)
   }
 
   /** Deterministic task priority ∈ [0,10) — pure, shared with the oracle. */

@@ -256,12 +256,13 @@ class GoldenCrawlSpec extends AnyFunSuite {
     assert(genG == oracle.seenGen)
   }
 
-  test("HTTP fetch mode over real loopback sockets is crawl-identical to Generator") {
-    // the loopback server IS the deterministic corpus: /hN.example/pM serves
-    // pageHtml (200), missing pages 404, and '.unreachable' hosts are
-    // rewritten to a refused port — exercising Ok/Err/Reject over the real
-    // HttpFetcher + HTML extraction path end-to-end
-    val corpus = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24)
+  /** Loopback corpus server harness: /hN.example/pM serves pageHtml (200),
+   * missing pages 404, '.unreachable' hosts are rewritten to a refused port,
+   * and /robots.txt serves the corpus ground truth (Disallow + Crawl-delay)
+   * over the wire, counting GETs per host. */
+  private def withLoopbackServer[T](corpus: CorpusConfig)(
+      f: (String => String, java.util.concurrent.ConcurrentHashMap[Int, Integer]) => T): T = {
+    val robotsGets = new java.util.concurrent.ConcurrentHashMap[Int, Integer]()
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
@@ -274,9 +275,13 @@ class GoldenCrawlSpec extends AnyFunSuite {
       val RobotsRe = "^h([0-9]+)\\.example/robots\\.txt$".r
       val (status, body) = raw match {
         case RobotsRe(hs) => // REAL robots over the wire (north_rule)
+          robotsGets.merge(hs.toInt, 1, (a, b) => a + b)
           val dis = CorpusGen.robotsDisallows(corpus, hs.toInt)
-          if (dis.isEmpty) (404, "no robots here")
-          else (200, "User-agent: *\n" + dis.map("Disallow: " + _).mkString("\n"))
+          val dly = CorpusGen.crawlDelayOf(corpus, hs.toInt)
+          if (dis.isEmpty && dly == 0) (404, "no robots here")
+          else (200, "User-agent: *\n" +
+            dis.map("Disallow: " + _).mkString("\n") +
+            (if (dly > 0) s"\nCrawl-delay: $dly" else ""))
         case _ => CorpusGen.resolvePage(corpus, s"http://$raw") match {
           case CorpusGen.PageLookup.Found(h, p) => (200, CorpusGen.pageHtml(corpus, h, p))
           case _ => (404, "gone")
@@ -296,14 +301,22 @@ class GoldenCrawlSpec extends AnyFunSuite {
       if (host.endsWith(".unreachable")) s"http://127.0.0.1:1$path" // refused ⇒ Reject
       else s"http://127.0.0.1:$port/$host$path"
     }
-    try {
+    try f(rewrite, robotsGets) finally server.stop(0)
+  }
+
+  private def httpMode(rewrite: String => String) =
+    graft.operators.FetchMode.Http(rewrite,
+      connectTimeoutMs = 2000, requestTimeoutMs = 10000)
+
+  test("HTTP fetch mode over real loopback sockets is crawl-identical to Generator") {
+    val corpus = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24)
+    withLoopbackServer(corpus) { (rewrite, robotsGets) =>
       val base = CrawlConfig(corpus = corpus, perHostCap = 3)
       val seeds = CorpusGen.seeds(corpus, 3)
       val (genG, outG, _) = runBoth(
         base.copy(fetchMode = graft.operators.FetchMode.Generator), seeds, maxGens = 12)
       val (genH, outH, oracle) = runBoth(
-        base.copy(fetchMode = graft.operators.FetchMode.Http(rewrite,
-          connectTimeoutMs = 2000, requestTimeoutMs = 10000)), seeds, maxGens = 12)
+        base.copy(fetchMode = httpMode(rewrite)), seeds, maxGens = 12)
       assert(genH == genG)
       assert(outH == outG)
       assert(genH == oracle.seenGen)
@@ -317,7 +330,96 @@ class GoldenCrawlSpec extends AnyFunSuite {
           graft.core.Robots.pathOf(u).startsWith("/x")
       }
       assert(gated.isEmpty, s"robots-over-HTTP failed to gate: ${gated.take(5)}")
-    } finally server.stop(0)
+      // robots CACHE: a 12-generation crawl re-meeting the same hosts every
+      // generation pays each host's robots RTT exactly once
+      import scala.jdk.CollectionConverters._
+      val over = robotsGets.asScala.filter(_._2 > 1)
+      assert(over.isEmpty, s"robots re-fetched for hosts: $over")
+    }
+  }
+
+  test("HTTP robots cache: blacklisted hosts never contacted, others GET robots once") {
+    val corpus = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24)
+    withLoopbackServer(corpus) { (rewrite, robotsGets) =>
+      val blacklisted = Seq("h2.", "h5.")
+      val cfg = CrawlConfig(corpus = corpus, perHostCap = 3,
+        filter = graft.core.HostFilter.Blacklist(blacklisted),
+        fetchMode = httpMode(rewrite))
+      val seeds = CorpusGen.seeds(corpus, 3)
+      val (engineGen, engineOutcomes, oracle) = runBoth(cfg, seeds, maxGens = 12)
+      assert(engineGen == oracle.seenGen)
+      assert(engineOutcomes == oracle.outcomes.toSet)
+      import scala.jdk.CollectionConverters._
+      val gets = robotsGets.asScala.toMap
+      // the crawler is configured never to contact h2/h5 — not even robots
+      assert(!gets.contains(2) && !gets.contains(5),
+        s"robots fetched from blacklisted hosts: $gets")
+      // every other contacted host paid its robots RTT exactly once
+      assert(gets.values.forall(_ == 1), s"robots re-fetched: $gets")
+      assert(gets.nonEmpty)
+    }
+  }
+
+  test("HTTP Crawl-delay learned from robots.txt over the wire ≡ corpus ground truth") {
+    // every 3rd host serves 'Crawl-delay: d' in its robots.txt; the Http
+    // crawl must learn it via the robots cache and space fetches exactly as
+    // the Generator mode (a-priori delays) and the oracle do. Seeds start on
+    // NON-delayed hosts (h1, h2): a delayed host's robots are always fetched
+    // at candidacy — before its first task is eligible — so the learned and
+    // a-priori delay tables agree from the first fetch on
+    val corpus = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24,
+      delayEveryNthHost = 3)
+    withLoopbackServer(corpus) { (rewrite, _) =>
+      val seeds = Seq(CorpusGen.pageUrl(1, 0), CorpusGen.pageUrl(2, 0))
+      val base = CrawlConfig(corpus = corpus, perHostCap = 3)
+      val (genG, outG, _) = runBoth(
+        base.copy(fetchMode = graft.operators.FetchMode.Generator), seeds, maxGens = 18)
+      val (genH, outH, oracle) = runBoth(
+        base.copy(fetchMode = httpMode(rewrite)), seeds, maxGens = 18)
+      assert(genH == genG)
+      assert(outH == outG)
+      assert(genH == oracle.seenGen)
+      // the delay property held over real sockets: delayed hosts spaced ≥ d
+      val delays = CorpusGen.delayTable(corpus).toMap
+      val byHost = outH.toSeq.groupBy(o => graft.core.UrlCanon.hostOf(o._2))
+      var spaced = 0
+      delays.foreach { case (host, d) =>
+        val gens = byHost.getOrElse(host, Nil).map(_._1).sorted
+        assert(gens.distinct.length == gens.length, s"$host fetched twice in one gen")
+        gens.sliding(2).foreach {
+          case Seq(a, b) => assert(b - a >= d, s"$host (delay $d): fetched at $a,$b")
+          case _ => ()
+        }
+        if (gens.length >= 2) spaced += 1
+      }
+      assert(spaced > 0, "no delayed host fetched repeatedly — test too weak")
+    }
+  }
+
+  test("HTTP archive: spans parsed in the fetch partition ≡ Generator ground truth") {
+    val corpus = CorpusConfig(seed = 42L, numHosts = 10, maxPages = 20)
+    withLoopbackServer(corpus) { (rewrite, _) =>
+      val seeds = CorpusGen.seeds(corpus, 2)
+      val cfg = CrawlConfig(corpus = corpus, perHostCap = 3, archiveFetched = true,
+        fetchMode = httpMode(rewrite))
+      val (_, outcomes, _) = runBoth(cfg, seeds, maxGens = 8)
+      val spark = SparkSuite.spark
+      val archived = CrawlLoop.archivedDocs(spark, lastIo)
+        .collect().map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(s =>
+            (s.getString(0), s.getString(1), s.getString(2), s.getInt(3)))).toMap
+      val okUrls = outcomes.filter(_._3 == "ok").map(_._2)
+      assert(archived.keySet == okUrls,
+        s"missing=${(okUrls -- archived.keySet).take(3)} extra=${(archived.keySet -- okUrls).take(3)}")
+      // per-row span-sequence invariant: the HTML round-trips to the exact
+      // interleaved (kind, text, media_ref, order) sequence of the corpus
+      archived.foreach { case (url, spans) =>
+        val CorpusGen.PageLookup.Found(h, p) = CorpusGen.resolvePage(corpus, url)
+        val want = CorpusGen.pageSpans(corpus, h, p)
+          .map(s => (s.kind, s.text, s.media_ref, s.offset))
+        assert(spans == want, s"HTTP-archived spans differ for $url")
+      }
+    }
   }
 
   test("narrow-shuffle variant (host re-derived post-dedup) is crawl-identical") {
