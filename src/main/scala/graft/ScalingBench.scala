@@ -55,8 +55,19 @@ object ScalingBench {
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.ui.enabled", "false")
     if (isCluster) {
+      val coresPerExec =
+        master.stripPrefix("local-cluster[").stripSuffix("]").split(",")(1).trim.toInt
+      // CRITICAL on multi-executor hosts without cgroup core limits: each
+      // executor JVM otherwise sizes ParallelGC/JIT threads for ALL host
+      // cores — W executors × ~(5/8)·host-cores GC threads thrash the box
+      // (measured: 400 s of GC in one 681 task-second stage at 4×8 on 32
+      // cores; pinning ActiveProcessorCount to the executor's slice cut the
+      // steady-state wall 65 s → 35 s). spark-submit on YARN/K8s gets this
+      // from the container's cgroup; standalone does not.
       builder.config("spark.executor.extraJavaOptions",
-        s"$AddOpens -XX:+UseParallelGC")
+        s"$AddOpens " + sys.env.getOrElse("SPARK_GRAFT_EXEC_GC",
+          s"-XX:+UseParallelGC -XX:ActiveProcessorCount=$coresPerExec" +
+          s" -XX:ParallelGCThreads=$coresPerExec"))
       builder.config("spark.executor.memory",
         sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "6g"))
       sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
@@ -65,6 +76,30 @@ object ScalingBench {
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // executor-isolated mode: wait until every worker's executor registered —
+    // otherwise the first stages run on whichever JVMs came up first and the
+    // 4N run pays 4x the launch cost inside the measured window
+    if (isCluster) {
+      val workers = master.stripPrefix("local-cluster[").split(",")(0).trim.toInt
+      val deadline = System.nanoTime() + 90L * 1000000000L
+      while (spark.sparkContext.getExecutorMemoryStatus.size < workers + 1 &&
+             System.nanoTime() < deadline) Thread.sleep(200)
+    }
+    // JIT/codegen warmup ON EVERY EXECUTOR through the exact hot path (a
+    // fresh executor JVM interprets the corpus+canonicalize loop until C2
+    // kicks in; 8 executors would otherwise each pay that inside the timing)
+    {
+      val warmCorpus = CorpusConfig(seed = 7L, numHosts = 60000, maxPages = 30000)
+      val warmCfg = CrawlConfig(corpus = warmCorpus, perHostCap = 50,
+        bloomExpectedItems = 1L << 18, fetchMode = graft.operators.FetchMode.Generator)
+      val wf = BenchFrontier.allPages(spark, warmCorpus)
+      val wstep = FrontierStep.step(spark, wf,
+        wf.select(col("url")).limit(1), None,
+        graft.corpus.CorpusTables.documents(spark, warmCorpus), warmCfg, 0)
+      wstep.outcomes.count(); wstep.discovered.count()
+      spark.catalog.clearCache()
+    }
 
     val ssCorpus = CorpusConfig(seed = 42L, numHosts = 1200000, maxPages = 400000)
     val ssCfg = CrawlConfig(corpus = ssCorpus, perHostCap = 200,
@@ -89,6 +124,7 @@ object ScalingBench {
       val mean = if (r.tasks == 0) 0L else r.task_time_ms / r.tasks
       s"""{"stage":${r.stage_id},"tasks":${r.tasks},"task_time_ms":${r.task_time_ms},""" +
       s""""max_task_ms":${r.max_task_ms},"straggle":${if (mean == 0) 0.0 else r.max_task_ms.toDouble / mean},""" +
+      s""""gc_ms":${r.gc_ms},"fetch_wait_ms":${r.fetch_wait_ms},""" +
       s""""shuffle_read_mb":${r.shuffle_read_bytes / 1048576},"shuffle_write_mb":${r.shuffle_write_bytes / 1048576}}"""
     }.mkString("[", ",", "]")
     println(s"""{"bench":"steady_state_generation","master":"$master",""" +

@@ -26,17 +26,21 @@ import scala.collection.mutable
  * is processed before its StageCompleted), bounding the map on long crawls.
  */
 /** One attributed Spark stage of one labelled action of one generation.
- * `max_task_ms` vs `task_time_ms / tasks` exposes stragglers directly. */
+ * `max_task_ms` vs `task_time_ms / tasks` exposes stragglers directly;
+ * `gc_ms` and `fetch_wait_ms` (both INSIDE task_time_ms) attribute
+ * inflation to collector pressure vs cross-executor shuffle fetch. */
 final case class StageRow(gen: Int, action: String, stage_id: Int,
     tasks: Long, task_time_ms: Long, max_task_ms: Long, records_read: Long,
-    shuffle_read_bytes: Long, shuffle_write_bytes: Long)
+    shuffle_read_bytes: Long, shuffle_write_bytes: Long,
+    gc_ms: Long, fetch_wait_ms: Long)
 
 final class StageMetrics(sc: SparkContext) extends SparkListener {
   import StageMetrics.{LabelKey, MarkerKey}
 
   // stage id → (gen, action) attribution, from the submitting job's properties
   private val stageLabel = mutable.Map.empty[Int, (Int, String)]
-  private val acc = mutable.Map.empty[(Int, Int, String), (Long, Long, Long, Long, Long, Long)]
+  private val acc =
+    mutable.Map.empty[(Int, Int, String), (Long, Long, Long, Long, Long, Long, Long, Long)]
   // marker bookkeeping for settle(): jobId → marker token; tokens seen at JobEnd
   private val markerJob = mutable.Map.empty[Int, Long]
   private val markerSeen = mutable.Set.empty[Long]
@@ -80,12 +84,15 @@ final class StageMetrics(sc: SparkContext) extends SparkListener {
     if (m != null) acc.synchronized {
       stageLabel.get(taskEnd.stageId).foreach { case (gen, action) =>
         val key = (gen, taskEnd.stageId, action)
-        val (t, ms, mx, rec, sr, sw) = acc.getOrElse(key, (0L, 0L, 0L, 0L, 0L, 0L))
+        val (t, ms, mx, rec, sr, sw, gc, fw) =
+          acc.getOrElse(key, (0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
         acc(key) = (t + 1L, ms + m.executorRunTime,
           math.max(mx, m.executorRunTime),
           rec + m.inputMetrics.recordsRead,
           sr + m.shuffleReadMetrics.totalBytesRead,
-          sw + m.shuffleWriteMetrics.bytesWritten)
+          sw + m.shuffleWriteMetrics.bytesWritten,
+          gc + m.jvmGCTime,
+          fw + m.shuffleReadMetrics.fetchWaitTime)
       }
     }
   }
@@ -110,8 +117,8 @@ final class StageMetrics(sc: SparkContext) extends SparkListener {
     acc.synchronized {
       val keys = acc.keysIterator.filter(_._1 == gen).toVector
       val rows = keys.sortBy(k => (k._3, k._2)).map { k =>
-        val (t, ms, mx, rec, sr, sw) = acc(k)
-        StageRow(k._1, k._3, k._2, t, ms, mx, rec, sr, sw)
+        val (t, ms, mx, rec, sr, sw, gc, fw) = acc(k)
+        StageRow(k._1, k._3, k._2, t, ms, mx, rec, sr, sw, gc, fw)
       }
       keys.foreach(acc.remove)
       rows
