@@ -12,6 +12,8 @@ import org.apache.spark.sql.SparkSession
  *
  * Usage: CrawlMain <workDir> [numHosts] [maxPages] [perHostCap] [maxGens] [seeds] [join|gen]
  *                  [--whitelist=FILE] [--blacklist=FILE] [--sketch=bloom|cuckoo|none] [--archive]
+ *                  [--delay-every=N]  (every Nth corpus host declares a robots
+ *                  Crawl-delay of 2-4 politeness windows; 0/absent = none)
  * Filter-list files: one host substring per line, trimmed, blanks dropped
  * (reference filter.rs:93-105); an EMPTY file — the reference ships empty
  * lists, filtering defaults off (main.rs:182-188) — yields NoFilter.
@@ -58,7 +60,9 @@ object CrawlMain {
         case _ => graft.core.HostFilter.NoFilter
       }
 
-    val cfg = CrawlConfig(corpus = CorpusConfig(numHosts = numHosts, maxPages = maxPages),
+    val cfg = CrawlConfig(
+      corpus = CorpusConfig(numHosts = numHosts, maxPages = maxPages,
+        delayEveryNthHost = flag("delay-every").map(_.toInt).getOrElse(0)),
       perHostCap = perHostCap, fetchMode = fetchMode,
       filter = hostFilter,
       seenSketch = flag("sketch").getOrElse("bloom"),

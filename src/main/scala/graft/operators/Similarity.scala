@@ -78,8 +78,13 @@ object Similarity {
    * inner loop runs on primitive float arrays with precomputed norms — no
    * per-pair Row/Seq boxing (the naive `a.join(b, id_a < id_b)` cartesian
    * pays an encoder round-trip per PAIR; this pays one per VECTOR per block
-   * replication). Exactness makes it oracle-checkable with brute-force SQL;
-   * scale-out: replication factor is blocks+1 per side ≈ O(n·√P). */
+   * replication). Exactness makes it oracle-checkable with brute-force SQL.
+   *
+   * Sizing `blocks` at scale: grid cells = B(B+1)/2 tasks, each holding
+   * ~2n/B vectors — raise B ∝ √n so per-cell memory stays bounded;
+   * replication per side is B+1 ≈ O(√P). The default 16 suits ≤10^5
+   * vectors; at 10^6 use ~64, at 10^7 use ~256 — or switch to
+   * `lshNearDupPairs`, the sub-quadratic path for high thresholds. */
   def cosinePairs(vectors: DataFrame, threshold: Double, blocks: Int = 16,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val spark = vectors.sparkSession
