@@ -194,13 +194,15 @@ object ShardStore {
   }
 
   /** Rebuild every shard that degraded (bloom fill > cap / cuckoo tainted)
-   * from its slice of the seen set — only the shard ids cross the driver;
+   * from its slice of the seen set — only the shard ids cross the driver
+   * (pass `knownIds` from `write` metadata to avoid even that extra job);
    * healthy shards pass through untouched and their seen slice is never
    * routed. */
   def rebuildDegraded(shards: RDD[SeenShard], seenUrls: Dataset[String],
-      cap: Double, fpp: Double): RDD[SeenShard] = {
+      cap: Double, fpp: Double, knownIds: Option[Set[Int]] = None): RDD[SeenShard] = {
     val n = shards.getNumPartitions
-    val ids = shards.filter(_.needsRebuild(cap)).map(_.id).collect().toSet
+    val ids = knownIds.getOrElse(
+      shards.filter(_.needsRebuild(cap)).map(_.id).collect().toSet)
     if (ids.isEmpty) shards
     else {
       val slice = seenUrls.rdd
@@ -233,11 +235,17 @@ object ShardStore {
 
   // --- per-shard durable persistence (the sketch's reliable checkpoint) -----
 
+  /** Per-shard metadata returned by `write` — the ONLY sketch bytes that
+   * ever reach the driver. `needsRebuild` piggybacks the degradation check
+   * on the write action, so a healthy generation pays exactly one sketch
+   * action. */
+  final case class ShardMeta(id: Int, items: Long, bytes: Long, needsRebuild: Boolean)
+
   /** Write every shard to `<dir>/shard_I.bin` from INSIDE its partition via
    * the Hadoop FileSystem API (write-tmp + rename; idempotent under task
-   * retry). Returns the per-shard (id, items, bytes) metadata — the only
-   * thing that reaches the driver. This is an action. */
-  def write(shards: RDD[SeenShard], dir: String): Seq[(Int, Long, Long)] =
+   * retry). This is an action. */
+  def write(shards: RDD[SeenShard], dir: String,
+      rebuildCap: Double = Double.MaxValue): Seq[ShardMeta] =
     shards.map { s =>
       val bytes = s.serialize()
       val path = new org.apache.hadoop.fs.Path(dir, f"shard_${s.id}%05d.bin")
@@ -250,7 +258,7 @@ object ShardStore {
       fs.delete(path, false)
       if (!fs.rename(tmp, path))
         throw new java.io.IOException(s"rename failed for $path")
-      (s.id, s.items, bytes.length.toLong)
+      ShardMeta(s.id, s.items, bytes.length.toLong, s.needsRebuild(rebuildCap))
     }.collect().toSeq
 
   /** Re-load shards from a generation's files: shard i reads its own file in

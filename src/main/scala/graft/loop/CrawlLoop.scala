@@ -277,29 +277,34 @@ object CrawlLoop {
       if (useSketch) stageMetrics.labelled(gen, "sketch_build") {
         shards.foreach { prev =>
           // routed per-shard insert of this generation's delta (copies —
-          // the persisted parents stay immutable)
+          // the persisted parents stay immutable), checkpointed to files in
+          // the SAME action; the write metadata carries each shard's
+          // degradation flag, so a healthy generation pays exactly one
+          // sketch job and moves only (id, items, bytes, flag) to the driver
           val updated = ShardStore.update(
-              prev, res.discovered.select("url").as[String])
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          // degraded shards (bloom fill past the cap / cuckoo kick-loop
-          // overflow ⇒ tainted) rebuild ALONE inside their partitions with
-          // geometry grown from their exact item count — the sketch never
-          // silently degrades (north_rule partitioned union-merge). The
-          // full seen set = committed deltas ≤ prevGen PLUS this
-          // generation's just-written delta (gen's manifest isn't committed
-          // yet, so deltaDirs(gen) would MISS it — a rebuild from that
-          // subset loses this generation's URLs ⇒ sketch false negatives ⇒
-          // duplicate seen entries; caught by the saturation golden test).
-          val seenAll = spark.read.parquet(
-              (io.deltaDirs("seen", prevGen) :+ io.genDir("seen", gen)): _*)
-            .select("url").as[String]
-          val healthy = ShardStore.rebuildDegraded(
-            updated, seenAll, cfg.shardFillCap, cfg.bloomFpp)
-          // the generation's durable sketch checkpoint: every shard writes
-          // itself from inside its partition; only (id, items, bytes)
-          // metadata reaches the driver
-          ShardStore.write(healthy, io.sketchDir(gen))
-          updated.unpersist(blocking = false)
+            prev, res.discovered.select("url").as[String])
+          val meta = ShardStore.write(updated, io.sketchDir(gen), cfg.shardFillCap)
+          val degraded = meta.filter(_.needsRebuild).map(_.id).toSet
+          if (degraded.nonEmpty) {
+            // rare path: degraded shards (bloom fill past the cap / cuckoo
+            // kick-loop overflow ⇒ tainted) rebuild ALONE inside their
+            // partitions with geometry grown from their exact item count —
+            // the sketch never silently degrades (north_rule partitioned
+            // union-merge). The full seen set = committed deltas ≤ prevGen
+            // PLUS this generation's just-written delta (gen's manifest
+            // isn't committed yet, so deltaDirs(gen) would MISS it — a
+            // rebuild from that subset loses this generation's URLs ⇒
+            // sketch false negatives ⇒ duplicate seen entries; caught by
+            // the saturation golden test).
+            val seenAll = spark.read.parquet(
+                (io.deltaDirs("seen", prevGen) :+ io.genDir("seen", gen)): _*)
+              .select("url").as[String]
+            val fromFiles = ShardStore.load(spark, io.sketchDir(gen), shardsN)
+              .getOrElse(updated) // files just written; fallback can't happen
+            val healthy = ShardStore.rebuildDegraded(
+              fromFiles, seenAll, cfg.shardFillCap, cfg.bloomFpp, Some(degraded))
+            ShardStore.write(healthy, io.sketchDir(gen))
+          }
           swapInShards(gen)
         }
       }

@@ -159,9 +159,10 @@ class SketchSpec extends AnyFunSuite {
     for (kind <- Seq("bloom", "cuckoo")) {
       val d = s"$dir/$kind"
       val shards = ShardStore.build(in.toDS(), 4, kind, 1024, 0.01)
-      val meta = ShardStore.write(shards, d)
-      assert(meta.map(_._1).sorted == Seq(0, 1, 2, 3))
-      assert(meta.map(_._2).sum == in.size.toLong) // exact items metadata
+      val meta = ShardStore.write(shards, d, rebuildCap = 0.47)
+      assert(meta.map(_.id).sorted == Seq(0, 1, 2, 3))
+      assert(meta.map(_.items).sum == in.size.toLong) // exact items metadata
+      assert(meta.forall(!_.needsRebuild)) // healthy at design load
       val loaded = ShardStore.load(spark, d, 4).get
       val probed = ShardStore.probe(in.map(u => (u, "h")).toDS(), loaded).collect()
       assert(probed.forall(_._3), s"$kind: loaded shards lost urls")
