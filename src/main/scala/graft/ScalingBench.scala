@@ -101,7 +101,16 @@ object ScalingBench {
       spark.catalog.clearCache()
     }
 
-    val ssCorpus = CorpusConfig(seed = 42L, numHosts = 1200000, maxPages = 400000)
+    // SPARK_GRAFT_SS_HOSTS scales the steady-state corpus (default matches
+    // rounds 1-3: 1.2M hosts ⇒ ~3.15M fetched pages). For the N→4N
+    // efficiency measurement the SAME value must be used at both cluster
+    // sizes — a larger fixed input raises the parallel fraction so the
+    // per-generation fixed cost (job scheduling, stage barriers) doesn't
+    // masquerade as poor scaling, exactly as a production frontier
+    // (10^8+ tasks/generation) would dwarf it.
+    val ssHosts = sys.env.getOrElse("SPARK_GRAFT_SS_HOSTS", "1200000").toInt
+    val ssCorpus = CorpusConfig(seed = 42L, numHosts = ssHosts,
+      maxPages = 400000)
     val ssCfg = CrawlConfig(corpus = ssCorpus, perHostCap = 200,
       bloomExpectedItems = 1L << 23, fetchMode = graft.operators.FetchMode.Generator)
     val megaFrontier = BenchFrontier.allPages(spark, ssCorpus)

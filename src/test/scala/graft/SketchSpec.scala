@@ -171,4 +171,46 @@ class SketchSpec extends AnyFunSuite {
       assert(ShardStore.load(spark, d, 8).isEmpty)
     }
   }
+
+  test("ShardStore: a healthy delta-insert + checkpoint costs exactly ONE job") {
+    // the per-generation sketch maintenance contract CrawlLoop relies on:
+    // update() is lazy, write() is the single action, and its metadata
+    // carries the degradation flags — no second scan when all shards are
+    // healthy. A regression here silently doubles the per-generation fixed
+    // cost on a 10^5-generation crawl.
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    import graft.functions.ShardStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-onejob").toString
+    val shards = ShardStore.build(urls(1000, "j1").toDS(), 4, "bloom", 2048, 0.01)
+      .persist()
+    shards.count() // materialise the parent outside the measured window
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val meta = ShardStore.write(
+        ShardStore.update(shards, urls(1000, "j2").toDS()), dir,
+        rebuildCap = 0.47)
+      // settle the async listener bus (listenerBus is private[spark]):
+      // poll until the job counter is stable for 300 ms
+      var last = -1
+      var stableSince = System.nanoTime()
+      while (System.nanoTime() - stableSince < 300000000L) {
+        val cur = jobs.get()
+        if (cur != last) { last = cur; stableSince = System.nanoTime() }
+        Thread.sleep(20)
+      }
+      assert(meta.forall(!_.needsRebuild))
+      assert(jobs.get() == 1,
+        s"healthy sketch maintenance ran ${jobs.get()} jobs; contract is 1")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      shards.unpersist()
+    }
+  }
 }
