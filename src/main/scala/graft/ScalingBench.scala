@@ -64,12 +64,27 @@ object ScalingBench {
       // cores; pinning ActiveProcessorCount to the executor's slice cut the
       // steady-state wall 65 s → 35 s). spark-submit on YARN/K8s gets this
       // from the container's cgroup; standalone does not.
+      //
+      // Second lesson (round 3, -Xlog:gc on the executors): with the core
+      // count pinned low, ParallelGC's ADAPTIVE young gen grows to ~1/3 of
+      // the heap, and every young pause then copies hundreds of MB of
+      // shuffle/agg survivors with only `coresPerExec` GC threads — 250 ms
+      // avg pauses (742 ms max) vs 32 ms for the same workload when the
+      // young gen stays small. Capping the young gen at heap/6 bounds the
+      // per-pause copy volume: task-attributed GC fell ~5× (50-60 s → 12-14 s
+      // per steady-state generation at 4×2-core executors, interleaved A/B).
+      val execMem = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "6g")
+      val heapMb = execMem.toLowerCase match {
+        case g if g.endsWith("g") => g.dropRight(1).toInt * 1024
+        case m if m.endsWith("m") => m.dropRight(1).toInt
+        case other                => other.toInt
+      }
+      val youngMb = math.max(512, heapMb / 6)
       builder.config("spark.executor.extraJavaOptions",
         s"$AddOpens " + sys.env.getOrElse("SPARK_GRAFT_EXEC_GC",
           s"-XX:+UseParallelGC -XX:ActiveProcessorCount=$coresPerExec" +
-          s" -XX:ParallelGCThreads=$coresPerExec"))
-      builder.config("spark.executor.memory",
-        sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "6g"))
+          s" -XX:ParallelGCThreads=$coresPerExec -Xmn${youngMb}m"))
+      builder.config("spark.executor.memory", execMem)
       sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
     }
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
