@@ -241,47 +241,78 @@ object ShardStore {
    * action. */
   final case class ShardMeta(id: Int, items: Long, bytes: Long, needsRebuild: Boolean)
 
-  /** Write every shard to `<dir>/shard_I.bin` from INSIDE its partition via
-   * the Hadoop FileSystem API (write-tmp + rename; idempotent under task
-   * retry). This is an action. */
+  /** Write shards to `<dir>/shard_I.bin` from INSIDE their partitions via
+   * the Hadoop FileSystem API. The job's hadoopConfiguration is shipped to
+   * the tasks (fs credentials / defaultFS set through Spark reach the
+   * executors — a fresh executor-side `new Configuration()` would drop
+   * them), and the tmp name carries the task attempt id so concurrent
+   * attempts of the same task (speculation, zombie attempt after an
+   * executor "loss" against shared storage) can never publish each other's
+   * half-written bytes — each attempt renames only its own complete file,
+   * and rename is atomic per attempt. This is an action.
+   *
+   * `onlyIds`: restrict the file writes to those shard ids (the degraded
+   * rebuild path — healthy shards' files from the pre-rebuild write are
+   * already current, so rewriting the whole sketch for one degraded shard
+   * would double the rare path's IO). Metadata still returns for every
+   * shard; skipped shards report bytes = 0. */
   def write(shards: RDD[SeenShard], dir: String,
-      rebuildCap: Double = Double.MaxValue): Seq[ShardMeta] =
+      rebuildCap: Double = Double.MaxValue,
+      onlyIds: Option[Set[Int]] = None): Seq[ShardMeta] = {
+    val confBc = shards.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        shards.sparkContext.hadoopConfiguration))
     shards.map { s =>
-      val bytes = s.serialize()
-      val path = new org.apache.hadoop.fs.Path(dir, f"shard_${s.id}%05d.bin")
-      val tmp = new org.apache.hadoop.fs.Path(dir, f"_tmp_shard_${s.id}%05d.bin")
-      // executor-side FS resolution: default Configuration picks up the
-      // cluster's core-site from the executor classpath; local fs in sandbox
-      val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      val out = fs.create(tmp, true)
-      try out.write(bytes) finally out.close()
-      fs.delete(path, false)
-      if (!fs.rename(tmp, path))
-        throw new java.io.IOException(s"rename failed for $path")
-      ShardMeta(s.id, s.items, bytes.length.toLong, s.needsRebuild(rebuildCap))
+      if (onlyIds.forall(_.contains(s.id))) {
+        val bytes = s.serialize()
+        val path = new org.apache.hadoop.fs.Path(dir, f"shard_${s.id}%05d.bin")
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val tmp = new org.apache.hadoop.fs.Path(
+          dir, f"_tmp_shard_${s.id}%05d.$attempt%d.bin")
+        val fs = path.getFileSystem(confBc.value.value)
+        val out = fs.create(tmp, true)
+        try out.write(bytes) finally out.close()
+        fs.delete(path, false)
+        if (!fs.rename(tmp, path))
+          throw new java.io.IOException(s"rename failed for $path")
+        ShardMeta(s.id, s.items, bytes.length.toLong, s.needsRebuild(rebuildCap))
+      } else ShardMeta(s.id, s.items, 0L, s.needsRebuild(rebuildCap))
     }.collect().toSeq
+  }
 
   /** Re-load shards from a generation's files: shard i reads its own file in
    * partition i — one-file-deep lineage, recompute-safe on executor loss.
-   * None if the directory is missing or holds fewer than `numShards` files
-   * (e.g. the workDir was previously run with a different sketch mode). */
+   * None if the directory is missing, holds fewer than `numShards` files, or
+   * holds MORE (file `shard_<numShards>` exists — the workDir was previously
+   * run with a different sketch mode or shard count; loading a mis-routed
+   * subset would answer "definitely new" for seen urls ⇒ duplicate fetches,
+   * so the caller must rebuild from the seen table instead). */
   def load(spark: SparkSession, dir: String, numShards: Int): Option[RDD[SeenShard]] = {
     val hPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val complete = fs.exists(hPath) && (0 until numShards).forall { i =>
       fs.exists(new org.apache.hadoop.fs.Path(dir, f"shard_$i%05d.bin"))
-    }
+    } && !fs.exists(new org.apache.hadoop.fs.Path(dir, f"shard_$numShards%05d.bin"))
     if (!complete) None
-    else Some(
-      spark.sparkContext.parallelize(0 until numShards, numShards).map { i =>
-        val p = new org.apache.hadoop.fs.Path(dir, f"shard_$i%05d.bin")
-        val f = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val st = f.getFileStatus(p)
-        val bytes = new Array[Byte](st.getLen.toInt)
-        val in = f.open(p)
-        try in.readFully(0L, bytes) finally in.close()
-        SeenShard.deserialize(bytes)
-      })
+    else {
+      val confBc = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration))
+      Some(
+        spark.sparkContext.parallelize(0 until numShards, numShards).map { i =>
+          val p = new org.apache.hadoop.fs.Path(dir, f"shard_$i%05d.bin")
+          val f = p.getFileSystem(confBc.value.value)
+          val st = f.getFileStatus(p)
+          require(st.getLen <= Int.MaxValue.toLong,
+            s"shard file $p is ${st.getLen} bytes — past the 2 GiB " +
+            "single-array ceiling; raise sketchShards so shards stay smaller")
+          val bytes = new Array[Byte](st.getLen.toInt)
+          val in = f.open(p)
+          try in.readFully(0L, bytes) finally in.close()
+          SeenShard.deserialize(bytes)
+        })
+    }
   }
 
   /** Driver-side read of all shard files (tests / small-scale inspection

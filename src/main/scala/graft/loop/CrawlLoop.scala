@@ -134,6 +134,23 @@ object CrawlLoop {
         seedDf.write.mode("overwrite").parquet(io.genDir("frontier", 0))
         seedDf.select(col("url"), lit(0).as("gen"))
           .write.mode("overwrite").parquet(io.genDir("seen", 0))
+        // Http mode: fetch the SEED hosts' robots.txt into the gen-0 cache
+        // delta, so generation 1's politeness already knows their
+        // Crawl-delays — the per-generation cache append only covers
+        // DISCOVERED hosts, and without this bootstrap fetch a delayed seed
+        // host would be selected delay-blind at the full cap in gen 1
+        // (diverging from the sequential oracle, which knows delays a
+        // priori). Filtered hosts are never contacted, as everywhere.
+        cfg.fetchMode match {
+          case graft.operators.FetchMode.Http(rw, cTo, rTo) if cfg.useRobots =>
+            val f = cfg.filter
+            val keepSeed = udf((h: String) => f.keep(if (h == null) "" else h))
+            FrontierStep.fetchRobotsRules(
+                seedDf.filter(keepSeed(col("host"))).select("host")
+                  .distinct().as[String], rw, cTo, rTo)
+              .write.mode("overwrite").parquet(io.genDir("robots", 0))
+          case _ => ()
+        }
         if (useSketch) {
           val built = ShardStore.build(
             spark.read.parquet(io.genDir("seen", 0)).select("url").as[String],
@@ -303,7 +320,9 @@ object CrawlLoop {
               .getOrElse(updated) // files just written; fallback can't happen
             val healthy = ShardStore.rebuildDegraded(
               fromFiles, seenAll, cfg.shardFillCap, cfg.bloomFpp, Some(degraded))
-            ShardStore.write(healthy, io.sketchDir(gen))
+            // only the rebuilt shards' files need rewriting — the healthy
+            // ones' files from the write above are already current
+            ShardStore.write(healthy, io.sketchDir(gen), onlyIds = Some(degraded))
           }
           swapInShards(gen)
         }

@@ -1,7 +1,7 @@
 package graft.loop
 
 import org.apache.spark.SparkContext
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 import scala.collection.mutable
 
 /**
@@ -21,9 +21,10 @@ import scala.collection.mutable
  * Attribution rides Spark's job-local properties (snapshotted per job at
  * submit time), NOT a mutable driver field — the async listener bus can
  * process `onJobStart` after `labelled()` returned, and a field would then
- * mislabel or drop the job. Stage→label entries are evicted on stage
- * completion (the bus is a single ordered queue, so every TaskEnd of a stage
- * is processed before its StageCompleted), bounding the map on long crawls.
+ * mislabel or drop the job. Stage→label entries are evicted per GENERATION
+ * at drain time (not on stage completion: a resubmitted stage attempt after
+ * a fetch failure / executor loss reuses its stageId and must keep its
+ * attribution), bounding the map on long crawls.
  */
 /** One attributed Spark stage of one labelled action of one generation.
  * `max_task_ms` vs `task_time_ms / tasks` exposes stragglers directly;
@@ -76,8 +77,12 @@ final class StageMetrics(sc: SparkContext) extends SparkListener {
       markerJob.remove(jobEnd.jobId).foreach(markerSeen += _)
     }
 
-  override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
-    acc.synchronized { stageLabel.remove(sc.stageInfo.stageId); () }
+  // NOTE deliberately NO eviction on stage completion: a fetch-failure or
+  // executor loss RESUBMITS a completed stage under the same stageId, and
+  // evicting at first completion would drop the retry attempt's attribution
+  // — under-counting cost precisely in the recovery path. Labels are
+  // evicted per generation at drain() instead (the action is over by then),
+  // which bounds the map just the same.
 
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
     val m = taskEnd.taskMetrics
@@ -111,7 +116,8 @@ final class StageMetrics(sc: SparkContext) extends SparkListener {
   }
 
   /** Settle the bus, then drain everything recorded for `gen` (rows sorted
-   * for determinism). */
+   * for determinism). Evicts this and older generations' stage labels —
+   * their actions are complete, so no further (re-)attempt can need them. */
   def drain(gen: Int): Seq[StageRow] = {
     settle()
     acc.synchronized {
@@ -121,6 +127,7 @@ final class StageMetrics(sc: SparkContext) extends SparkListener {
         StageRow(k._1, k._3, k._2, t, ms, mx, rec, sr, sw, gc, fw)
       }
       keys.foreach(acc.remove)
+      stageLabel.filterInPlace { case (_, (g, _)) => g > gen }
       rows
     }
   }

@@ -365,20 +365,7 @@ object FrontierStep {
             case Some(c) => hostsNeeded.join(c.select("host"), Seq("host"), "left_anti")
             case None    => hostsNeeded
           }
-          val fetchedRules = missingHosts.as[String]
-            .mapPartitions { it =>
-              lazy val client = graft.sources.HttpFetcher.newClient(cTo)
-              it.map { h =>
-                val r = graft.sources.HttpFetcher.fetchOne(
-                  client, rw(s"http://$h/robots.txt"), rTo)
-                val rules =
-                  if (r.outcome != Outcome.Ok) graft.core.RobotsRules.allowAll
-                  else graft.core.UrlCanon.decodeUtf8(r.body)
-                    .map(graft.core.RobotsRules.parse)
-                    .getOrElse(graft.core.RobotsRules.allowAll)
-                (h, rules.disallows, rules.crawlDelay.getOrElse(0))
-              }
-            }.toDF("host", "disallows", "delay")
+          val fetchedRules = FrontierStep.fetchRobotsRules(missingHosts.as[String], rw, cTo, rTo)
             .persist() // read twice: the filter join below + the cache append
           newRobotsOut = Some(fetchedRules)
           // rules relevant THIS generation: the cache rows for needed hosts
@@ -481,4 +468,31 @@ object FrontierStep {
   /** Deterministic task priority ∈ [0,10) — pure, shared with the oracle. */
   def priorityOf(url: String): Int =
     Math.floorMod(BloomSketch.hash(url, 0x70726fL), 10L).toInt
+
+  /** GET + parse `/robots.txt` for each host (pooled client per partition;
+   * missing/unreachable ⇒ allow-all, so the miss is also cached once).
+   * Returns (host, disallows, delay). Used per generation for cache-miss
+   * candidate hosts AND at bootstrap for the seed hosts — without the
+   * bootstrap fetch, generation 1's politeness would select seed-host URLs
+   * delay-blind at the full per-host cap (the cache is only appended AFTER
+   * a generation's fetches). */
+  def fetchRobotsRules(hosts: org.apache.spark.sql.Dataset[String],
+      rewrite: String => String, connectTimeoutMs: Int,
+      requestTimeoutMs: Int): DataFrame = {
+    val spark = hosts.sparkSession
+    import spark.implicits._
+    hosts.mapPartitions { it =>
+      lazy val client = graft.sources.HttpFetcher.newClient(connectTimeoutMs)
+      it.map { h =>
+        val r = graft.sources.HttpFetcher.fetchOne(
+          client, rewrite(s"http://$h/robots.txt"), requestTimeoutMs)
+        val rules =
+          if (r.outcome != Outcome.Ok) graft.core.RobotsRules.allowAll
+          else graft.core.UrlCanon.decodeUtf8(r.body)
+            .map(graft.core.RobotsRules.parse)
+            .getOrElse(graft.core.RobotsRules.allowAll)
+        (h, rules.disallows, rules.crawlDelay.getOrElse(0))
+      }
+    }.toDF("host", "disallows", "delay")
+  }
 }

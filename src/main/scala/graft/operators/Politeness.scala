@@ -37,11 +37,16 @@ object Politeness {
   def markTopKPerHost(tasks: DataFrame, k: Int, saltBuckets: Int = 16): DataFrame = {
     val order = Seq(col("priority").asc, col("next_fetch").asc, col("url").asc)
     val counts = tasks.groupBy(col("host")).agg(count(lit(1)).as("_hn"))
-    // LEFT join: a contract-violating null host can't equi-join its own count
-    // row (null keys never match) — coalesce routes it to the under-cap branch
-    // so the row is kept (selected) instead of silently vanishing from the
-    // frontier, matching the pure-window formulation's keep-and-rank behaviour
-    val joined = tasks.join(counts, Seq("host"), "left")
+      .withColumnRenamed("host", "_chost")
+    // NULL-SAFE join (<=>): contract-violating null-host rows match their own
+    // group-count row (groupBy and Window both treat nulls as one group), so
+    // they flow through the same under-cap/ranking split as any host — the
+    // pure-window formulation's behaviour exactly: kept, ranked together,
+    // capped at k. A plain equi-join would never match null keys and either
+    // drop the rows or (with a coalesce-to-1 fallback) select ALL of them
+    // uncapped. The coalesce stays as defence in depth only.
+    val joined = tasks.join(counts, col("host") <=> col("_chost"), "left")
+      .drop("_chost")
       .withColumn("_hn", coalesce(col("_hn"), lit(1L)))
     // long tail: whole host fits under the cap — selected without ranking
     val under = joined.filter(col("_hn") <= k)

@@ -363,14 +363,15 @@ class GoldenCrawlSpec extends AnyFunSuite {
   test("HTTP Crawl-delay learned from robots.txt over the wire ≡ corpus ground truth") {
     // every 3rd host serves 'Crawl-delay: d' in its robots.txt; the Http
     // crawl must learn it via the robots cache and space fetches exactly as
-    // the Generator mode (a-priori delays) and the oracle do. Seeds start on
-    // NON-delayed hosts (h1, h2): a delayed host's robots are always fetched
-    // at candidacy — before its first task is eligible — so the learned and
-    // a-priori delay tables agree from the first fetch on
+    // the Generator mode (a-priori delays) and the oracle do. One seed is a
+    // DELAYED host (h3): discovered hosts get their robots at candidacy, but
+    // seed hosts are only covered because the BOOTSTRAP fetches their robots
+    // into the gen-0 cache — without it, gen 1 would select h3's URLs
+    // delay-blind at the full cap and diverge from the a-priori modes
     val corpus = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24,
       delayEveryNthHost = 3)
     withLoopbackServer(corpus) { (rewrite, _) =>
-      val seeds = Seq(CorpusGen.pageUrl(1, 0), CorpusGen.pageUrl(2, 0))
+      val seeds = Seq(CorpusGen.pageUrl(1, 0), CorpusGen.pageUrl(3, 0))
       val base = CrawlConfig(corpus = corpus, perHostCap = 3)
       val (genG, outG, _) = runBoth(
         base.copy(fetchMode = graft.operators.FetchMode.Generator), seeds, maxGens = 18)

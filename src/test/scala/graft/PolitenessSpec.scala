@@ -33,4 +33,26 @@ class PolitenessSpec extends AnyFunSuite {
       s"selection mismatch: ${diff.take(5)}"
     })
   }
+
+  test("contract-violating null hosts are kept, grouped and capped at k") {
+    // the crawl guarantees non-null hosts, but if the contract is ever
+    // violated the operator must behave like the pure window formulation:
+    // nulls form ONE group (groupBy and Window both group nulls), ranked
+    // together, top-k selected — not dropped, and not all selected uncapped
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val k = 2
+    val rows =
+      (1 to 5).map(i => (s"http://x/null$i", Option.empty[String], 1, i.toLong)) ++
+      (1 to 3).map(i => (s"http://a/p$i", Option("a.example"), 1, i.toLong))
+    val df = rows.toDF("url", "host", "priority", "next_fetch")
+    val got = Politeness.markTopKPerHost(df, k, saltBuckets = 4).collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[Boolean]("selected"))).toMap
+    assert(got.size == rows.size, "null-host rows vanished from the frontier")
+    val nullSel = (1 to 5).map(i => got(s"http://x/null$i")).count(identity)
+    assert(nullSel == k, s"null-host group selected $nullSel rows; cap is $k")
+    // ordering within the null group: lowest next_fetch wins
+    assert(got("http://x/null1") && got("http://x/null2") && !got("http://x/null5"))
+    assert((1 to 3).map(i => got(s"http://a/p$i")).count(identity) == k)
+  }
 }

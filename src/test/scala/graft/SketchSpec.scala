@@ -169,6 +169,10 @@ class SketchSpec extends AnyFunSuite {
       // incomplete dir (wrong shard count) refuses to load — the resume
       // path must fall back to rebuild-from-seen, not probe a partial sketch
       assert(ShardStore.load(spark, d, 8).isEmpty)
+      // ...and so does a dir with MORE shards than requested: loading the
+      // first 2 of 4 files would probe a mod-2-routed url against a
+      // mod-4-routed shard — a false-negative factory, not a sketch
+      assert(ShardStore.load(spark, d, 2).isEmpty)
     }
   }
 
