@@ -55,7 +55,16 @@ object Extract {
    * spans (raw href in `media_ref`), offsets dense from 0 in document
    * order — the inverse of the corpus serializer (CorpusGen.pageHtml), so an
    * HTTP-fetched page archives the exact span sequence the durable corpus
-   * would store (per-row span-sequence invariant). */
+   * would store (per-row span-sequence invariant).
+   *
+   * CORPUS-SHAPE RESTRICTION: the scan matches the corpus serializer's
+   * markup — literal attribute-less `<p>`, unnested tags. Real-world pages
+   * (`<p class=…>`, nested markup) parse partially or empty with outcome
+   * still Ok. The archive path therefore records `spanCoverage` alongside
+   * the spans so silent truncation is DETECTABLE: corpus-shaped pages score
+   * ≳0.8 (only the html/body wrapper is unmatched), a real page whose
+   * content the scan missed scores near 0 — filter the archive on
+   * `parse_cov` to find them. */
   def spansFromHtml(html: String): Seq[Span] = {
     val out = Seq.newBuilder[Span]
     var off = 0
@@ -72,4 +81,13 @@ object Extract {
     }
     out.result()
   }
+
+  /** Fraction of the body's characters consumed by `spansFromHtml` matches —
+   * the parse-coverage signal of the corpus-shape restriction above. Cheap
+   * (one regex pass, same automaton as the parse) and monotone in what the
+   * parse actually captured: 0.0 means the scan saw nothing it recognises. */
+  def spanCoverage(html: String): Double =
+    if (html.isEmpty) 1.0
+    else SpanTag.findAllMatchIn(html).map(m => m.end - m.start).sum.toDouble /
+      html.length
 }

@@ -273,9 +273,15 @@ object ShardStore {
         val fs = path.getFileSystem(confBc.value.value)
         val out = fs.create(tmp, true)
         try out.write(bytes) finally out.close()
-        fs.delete(path, false)
-        if (!fs.rename(tmp, path))
-          throw new java.io.IOException(s"rename failed for $path")
+        // OVERWRITING atomic rename (FileContext honours Rename.OVERWRITE;
+        // FileSystem.rename does not). A delete-then-rename pair would open
+        // a window where a zombie attempt deletes the committed file and
+        // dies before its own rename — the shard file would be missing even
+        // though the job succeeded, degrading recovery to rebuild-from-seen.
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fs.makeQualified(path).toUri, confBc.value.value)
+        fc.rename(fs.makeQualified(tmp), fs.makeQualified(path),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         ShardMeta(s.id, s.items, bytes.length.toLong, s.needsRebuild(rebuildCap))
       } else ShardMeta(s.id, s.items, 0L, s.needsRebuild(rebuildCap))
     }.collect().toSeq
@@ -283,16 +289,29 @@ object ShardStore {
 
   /** Re-load shards from a generation's files: shard i reads its own file in
    * partition i — one-file-deep lineage, recompute-safe on executor loss.
-   * None if the directory is missing, holds fewer than `numShards` files, or
+   * None if the directory is missing, holds fewer than `numShards` files,
    * holds MORE (file `shard_<numShards>` exists — the workDir was previously
    * run with a different sketch mode or shard count; loading a mis-routed
-   * subset would answer "definitely new" for seen urls ⇒ duplicate fetches,
-   * so the caller must rebuild from the seen table instead). */
-  def load(spark: SparkSession, dir: String, numShards: Int): Option[RDD[SeenShard]] = {
+   * subset would answer "definitely new" for seen urls ⇒ duplicate fetches),
+   * or any file's kind byte mismatches the requested `kind` (resuming with
+   * `--sketch=cuckoo` over bloom shard files would load blooms silently —
+   * conservative, but compaction deletes would become identity no-ops,
+   * defeating the deletion variant the user asked for). In every None case
+   * the caller must rebuild from the seen table instead. */
+  def load(spark: SparkSession, dir: String, numShards: Int,
+      kind: Option[String] = None): Option[RDD[SeenShard]] = {
     val hPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wantKind: Option[Byte] = kind.map {
+      case "cuckoo" => SeenShard.KindCuckoo
+      case _        => SeenShard.KindBloom
+    }
     val complete = fs.exists(hPath) && (0 until numShards).forall { i =>
-      fs.exists(new org.apache.hadoop.fs.Path(dir, f"shard_$i%05d.bin"))
+      val p = new org.apache.hadoop.fs.Path(dir, f"shard_$i%05d.bin")
+      fs.exists(p) && wantKind.forall { k =>
+        val in = fs.open(p) // kind is the first byte; one tiny driver read per shard
+        try in.read() == k.toInt finally in.close()
+      }
     } && !fs.exists(new org.apache.hadoop.fs.Path(dir, f"shard_$numShards%05d.bin"))
     if (!complete) None
     else {

@@ -94,7 +94,8 @@ object CrawlLoop {
 
     /** Load gen's shard files; persist + swap, dropping the previous RDD. */
     def swapInShards(gen: Int): Unit = {
-      val loaded = ShardStore.load(spark, io.sketchDir(gen), shardsN)
+      val loaded = ShardStore.load(spark, io.sketchDir(gen), shardsN,
+          Some(cfg.seenSketch))
         .map(_.persist(StorageLevel.MEMORY_AND_DISK))
       shards.foreach(_.unpersist(blocking = false))
       shards = loaded
@@ -148,6 +149,7 @@ object CrawlLoop {
             FrontierStep.fetchRobotsRules(
                 seedDf.filter(keepSeed(col("host"))).select("host")
                   .distinct().as[String], rw, cTo, rTo)
+              .filter(col("definitive")).drop("definitive") // transient robots failures re-fetch at candidacy
               .write.mode("overwrite").parquet(io.genDir("robots", 0))
           case _ => ()
         }
@@ -316,7 +318,8 @@ object CrawlLoop {
             val seenAll = spark.read.parquet(
                 (io.deltaDirs("seen", prevGen) :+ io.genDir("seen", gen)): _*)
               .select("url").as[String]
-            val fromFiles = ShardStore.load(spark, io.sketchDir(gen), shardsN)
+            val fromFiles = ShardStore.load(spark, io.sketchDir(gen), shardsN,
+                Some(cfg.seenSketch))
               .getOrElse(updated) // files just written; fallback can't happen
             val healthy = ShardStore.rebuildDegraded(
               fromFiles, seenAll, cfg.shardFillCap, cfg.bloomFpp, Some(degraded))

@@ -227,10 +227,10 @@ object FrontierStep {
             lazy val client = graft.sources.HttpFetcher.newClient(cTo)
             it.map { tk =>
               val r = graft.sources.HttpFetcher.fetchOne(client, rw(tk.url), rTo)
-              val (outcome, links, spans) =
-                if (r.outcome != Outcome.Ok) (r.outcome, Nil, Nil)
+              val (outcome, links, spans, cov) =
+                if (r.outcome != Outcome.Ok) (r.outcome, Nil, Nil, 0.0)
                 else graft.core.UrlCanon.decodeUtf8(r.body) match {
-                  case None => (Outcome.Err, Nil, Nil) // undecodable page ⇒ Parsing error (errors.rs:122-140)
+                  case None => (Outcome.Err, Nil, Nil, 0.0) // undecodable page ⇒ Parsing error (errors.rs:122-140)
                   case Some(html) =>
                     val inPage = new java.util.HashSet[String]()
                     val ls = graft.core.Extract.rawHrefs(html).iterator.flatMap { href =>
@@ -241,17 +241,21 @@ object FrontierStep {
                     }.toSeq
                     // archive path (S7): the durable span parse happens HERE,
                     // inside the fetch partition — the raw body still never
-                    // leaves it (archive/rmq.rs:29-43 analogue)
+                    // leaves it (archive/rmq.rs:29-43 analogue). parse_cov
+                    // makes the scan's corpus-shape restriction detectable
+                    // (Extract.spansFromHtml scaladoc).
                     val sp = if (doArchive) graft.core.Extract.spansFromHtml(html)
                              else Nil
-                    (Outcome.Ok, ls, sp)
+                    val cv = if (doArchive) graft.core.Extract.spanCoverage(html)
+                             else 0.0
+                    (Outcome.Ok, ls, sp, cv)
                 }
               (tk.url, tk.host, tk.priority, tk.next_fetch, tk.retry_count, tk.gen,
-                outcome, links, spans)
+                outcome, links, spans, cov)
             }
           }
           .toDF("url", "host", "priority", "next_fetch", "retry_count", "gen",
-            "outcome", "links", "spans")
+            "outcome", "links", "spans", "parse_cov")
           .persist()
     }
 
@@ -272,9 +276,10 @@ object FrontierStep {
               })
             }.toDF())
         case _: FetchMode.Http =>
-          // spans were parsed inside the fetch partition (body never left it)
+          // spans were parsed inside the fetch partition (body never left it);
+          // parse_cov flags pages whose markup escaped the corpus-shape scan
           Some(fetched.filter(col("outcome") === Outcome.Ok)
-            .select(col("url").as("doc_id"), col("spans")))
+            .select(col("url").as("doc_id"), col("spans"), col("parse_cov")))
       }
 
     val outcomes = fetched.select(lit(gen).as("gen"), col("url"), col("outcome"),
@@ -367,17 +372,26 @@ object FrontierStep {
           }
           val fetchedRules = FrontierStep.fetchRobotsRules(missingHosts.as[String], rw, cTo, rTo)
             .persist() // read twice: the filter join below + the cache append
-          newRobotsOut = Some(fetchedRules)
+          // only DEFINITIVE answers enter the durable cache — a transient
+          // robots failure (outcome Reject ⇒ definitive=false) is allow-all
+          // for this generation only and re-fetched next generation
+          newRobotsOut = Some(
+            fetchedRules.filter(col("definitive")).drop("definitive"))
           // rules relevant THIS generation: the cache rows for needed hosts
-          // (semi-join prune — the broadcast side never grows past this
-          // gen's host set) plus the fresh fetches
+          // (semi-join prune) plus ALL fresh fetches, transient included
           val rules = (robotsCache
               .map(_.join(hostsNeeded, Seq("host"), "left_semi")).toSeq :+
-              fetchedRules.toDF())
+              fetchedRules.drop("definitive"))
             .reduce(_ unionByName _)
           val robotsAllowed = udf((ds: Seq[String], url: String) =>
             graft.core.Robots.allowed(if (ds == null) Nil else ds, url))
-          hostFiltered.join(broadcast(rules.select("host", "disallows")), Seq("host"), "left")
+          // no broadcast hint: the rules side is semi-join-pruned to this
+          // generation's candidate hosts, but that set is UNBOUNDED (the
+          // politeness cap bounds per-host fetches, not distinct candidate
+          // hosts) — at 10^6+ hosts/gen with disallow arrays a forced
+          // broadcast is a driver/executor memory risk. AQE picks broadcast
+          // by measured size at small host counts, shuffle join otherwise.
+          hostFiltered.join(rules.select("host", "disallows"), Seq("host"), "left")
             .filter(robotsAllowed(col("disallows"), col("url")))
             .drop("disallows")
         case _ =>
@@ -469,13 +483,22 @@ object FrontierStep {
   def priorityOf(url: String): Int =
     Math.floorMod(BloomSketch.hash(url, 0x70726fL), 10L).toInt
 
-  /** GET + parse `/robots.txt` for each host (pooled client per partition;
-   * missing/unreachable ⇒ allow-all, so the miss is also cached once).
-   * Returns (host, disallows, delay). Used per generation for cache-miss
-   * candidate hosts AND at bootstrap for the seed hosts — without the
-   * bootstrap fetch, generation 1's politeness would select seed-host URLs
-   * delay-blind at the full per-host cap (the cache is only appended AFTER
-   * a generation's fetches). */
+  /** GET + parse `/robots.txt` for each host (pooled client per partition).
+   * Returns (host, disallows, delay, definitive). Used per generation for
+   * cache-miss candidate hosts AND at bootstrap for the seed hosts — without
+   * the bootstrap fetch, generation 1's politeness would select seed-host
+   * URLs delay-blind at the full per-host cap (the cache is only appended
+   * AFTER a generation's fetches).
+   *
+   * `definitive` separates answers the host actually gave from answers the
+   * NETWORK gave: a 200 parse or an HTTP error status (404 ⇒ allow-all, the
+   * standard lenient reading) is the host's answer and safe to cache
+   * forever; a connect/timeout/5xx-free transport failure (outcome Reject)
+   * says nothing about the host's rules. Transient failures still act as
+   * allow-all for THIS generation (the reference fetches robots per task and
+   * is equally blind during a blip, worker.rs:90-104) but callers must NOT
+   * cache them — a cached blip would permanently erase the host's Disallow
+   * rules and Crawl-delay, since cached hosts are never re-fetched. */
   def fetchRobotsRules(hosts: org.apache.spark.sql.Dataset[String],
       rewrite: String => String, connectTimeoutMs: Int,
       requestTimeoutMs: Int): DataFrame = {
@@ -491,8 +514,9 @@ object FrontierStep {
           else graft.core.UrlCanon.decodeUtf8(r.body)
             .map(graft.core.RobotsRules.parse)
             .getOrElse(graft.core.RobotsRules.allowAll)
-        (h, rules.disallows, rules.crawlDelay.getOrElse(0))
+        (h, rules.disallows, rules.crawlDelay.getOrElse(0),
+          r.outcome != Outcome.Reject)
       }
-    }.toDF("host", "disallows", "delay")
+    }.toDF("host", "disallows", "delay", "definitive")
   }
 }

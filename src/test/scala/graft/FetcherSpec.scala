@@ -64,6 +64,33 @@ class FetcherSpec extends AnyFunSuite {
     assert(r.error_kind == "InvalidUrl")
   }
 
+  test("robots fetch: host answers are definitive, network failures are not") {
+    // ADVICE round 3: a transient robots failure must NOT enter the durable
+    // cache (a cached blip would permanently erase the host's rules) — only
+    // a 200 parse or an HTTP-status answer (404 ⇒ allow-all) is definitive.
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    withServer(Map(
+      "/good.example/robots.txt" -> (200, "User-agent: *\nDisallow: /x\nCrawl-delay: 2")
+    )) { port =>
+      val rewrite = (u: String) => {
+        val rest = u.stripPrefix("http://")
+        if (rest.startsWith("down.example")) s"http://127.0.0.1:1/$rest" // refused
+        else s"http://127.0.0.1:$port/$rest"
+      }
+      val rows = graft.operators.FrontierStep.fetchRobotsRules(
+          Seq("good.example", "missing.example", "down.example").toDS(),
+          rewrite, 2000, 5000)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getSeq[String](1), r.getInt(2), r.getBoolean(3))))
+        .toMap
+      assert(rows("good.example") == ((Seq("/x"), 2, true)))    // 200: cached
+      assert(rows("missing.example") == ((Nil, 0, true)))       // 404: allow-all, cached
+      assert(rows("down.example") == ((Nil, 0, false)))         // blip: allow-all THIS GEN ONLY
+    }
+  }
+
   test("served corpus HTML round-trips exactly the generator hrefs") {
     val cfg = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24)
     for (h <- 0 until 4; p <- 0 until math.min(3, CorpusGen.pageCount(cfg, h))) {

@@ -117,4 +117,18 @@ class FilterExtractSpec extends AnyFunSuite {
     assert(Robots.allowed(Seq("/x"), "http://h1.example/p7"))
     assert(Robots.allowed(Nil, "http://h1.example/x7"))
   }
+
+  test("spanCoverage: corpus-shaped pages score high, alien markup detectably low") {
+    val cfg = graft.corpus.CorpusConfig(seed = 42L, numHosts = 8, maxPages = 16)
+    val html = graft.corpus.CorpusGen.pageHtml(cfg, 1, 0)
+    assert(Extract.spansFromHtml(html).nonEmpty)
+    assert(Extract.spanCoverage(html) > 0.8, // only the html/body wrapper unmatched
+      s"corpus page coverage ${Extract.spanCoverage(html)}")
+    // the documented corpus-shape restriction: real-world attributes/nesting
+    // escape the scan — and parse_cov makes that silent truncation visible
+    val alien = """<html><body><p class="lead">real paragraph</p><div>text</div></body></html>"""
+    assert(Extract.spansFromHtml(alien).isEmpty)
+    assert(Extract.spanCoverage(alien) < 0.1,
+      s"alien markup scored ${Extract.spanCoverage(alien)} — truncation undetectable")
+  }
 }

@@ -260,7 +260,8 @@ class GoldenCrawlSpec extends AnyFunSuite {
    * missing pages 404, '.unreachable' hosts are rewritten to a refused port,
    * and /robots.txt serves the corpus ground truth (Disallow + Crawl-delay)
    * over the wire, counting GETs per host. */
-  private def withLoopbackServer[T](corpus: CorpusConfig)(
+  private def withLoopbackServer[T](corpus: CorpusConfig,
+      failFirstRobotsOf: Set[Int] = Set.empty)(
       f: (String => String, java.util.concurrent.ConcurrentHashMap[Int, Integer]) => T): T = {
     val robotsGets = new java.util.concurrent.ConcurrentHashMap[Int, Integer]()
     val server = com.sun.net.httpserver.HttpServer.create(
@@ -273,24 +274,35 @@ class GoldenCrawlSpec extends AnyFunSuite {
       val raw = ex.getRequestURI.getRawPath.stripPrefix("/") +
         Option(ex.getRequestURI.getRawQuery).map("?" + _).getOrElse("")
       val RobotsRe = "^h([0-9]+)\\.example/robots\\.txt$".r
-      val (status, body) = raw match {
-        case RobotsRe(hs) => // REAL robots over the wire (north_rule)
-          robotsGets.merge(hs.toInt, 1, (a, b) => a + b)
-          val dis = CorpusGen.robotsDisallows(corpus, hs.toInt)
-          val dly = CorpusGen.crawlDelayOf(corpus, hs.toInt)
-          if (dis.isEmpty && dly == 0) (404, "no robots here")
-          else (200, "User-agent: *\n" +
-            dis.map("Disallow: " + _).mkString("\n") +
-            (if (dly > 0) s"\nCrawl-delay: $dly" else ""))
-        case _ => CorpusGen.resolvePage(corpus, s"http://$raw") match {
-          case CorpusGen.PageLookup.Found(h, p) => (200, CorpusGen.pageHtml(corpus, h, p))
-          case _ => (404, "gone")
-        }
+      // transient-failure injection: the host's FIRST robots GET drops the
+      // connection without a response (client sees EOF ⇒ Reject)
+      val transientDrop = raw match {
+        case RobotsRe(hs) if failFirstRobotsOf.contains(hs.toInt) =>
+          robotsGets.merge(hs.toInt, 1, (a, b) => a + b) == 1
+        case _ => false
       }
-      val bytes = body.getBytes("UTF-8")
-      ex.sendResponseHeaders(status, bytes.length.toLong)
-      ex.getResponseBody.write(bytes)
-      ex.close()
+      if (transientDrop) ex.close()
+      else {
+        val (status, body) = raw match {
+          case RobotsRe(hs) => // REAL robots over the wire (north_rule)
+            if (!failFirstRobotsOf.contains(hs.toInt)) // flaky hosts counted above
+              robotsGets.merge(hs.toInt, 1, (a, b) => a + b)
+            val dis = CorpusGen.robotsDisallows(corpus, hs.toInt)
+            val dly = CorpusGen.crawlDelayOf(corpus, hs.toInt)
+            if (dis.isEmpty && dly == 0) (404, "no robots here")
+            else (200, "User-agent: *\n" +
+              dis.map("Disallow: " + _).mkString("\n") +
+              (if (dly > 0) s"\nCrawl-delay: $dly" else ""))
+          case _ => CorpusGen.resolvePage(corpus, s"http://$raw") match {
+            case CorpusGen.PageLookup.Found(h, p) => (200, CorpusGen.pageHtml(corpus, h, p))
+            case _ => (404, "gone")
+          }
+        }
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(status, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
     })
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     server.start()
@@ -394,6 +406,37 @@ class GoldenCrawlSpec extends AnyFunSuite {
         if (gens.length >= 2) spaced += 1
       }
       assert(spaced > 0, "no delayed host fetched repeatedly — test too weak")
+    }
+  }
+
+  test("transient robots failure is allow-all for ONE generation, never cached (ADVICE r3)") {
+    // the flaky host's FIRST robots GET drops the connection (network blip);
+    // the durable cache must NOT remember the blip as allow-all — the next
+    // generation re-fetches, learns the real Disallow rules, and the crawl
+    // stays oracle-identical. Pre-fix behaviour: the blip was cached, the
+    // host's rules were permanently erased, and its /x URLs got crawled.
+    val corpus = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24)
+    val flaky = (0 until 12).find { h =>
+      CorpusGen.robotsDisallows(corpus, h).nonEmpty &&
+        CorpusGen.pageCount(corpus, h) > 0
+    }.get
+    withLoopbackServer(corpus, failFirstRobotsOf = Set(flaky)) { (rewrite, robotsGets) =>
+      val second = if (flaky == 1) 4 else 1
+      val seeds = Seq(CorpusGen.pageUrl(flaky, 0), CorpusGen.pageUrl(second, 0))
+      val cfg = CrawlConfig(corpus = corpus, perHostCap = 3,
+        fetchMode = httpMode(rewrite))
+      val (genH, outH, oracle) = runBoth(cfg, seeds, maxGens = 12)
+      assert(genH == oracle.seenGen)
+      assert(outH == oracle.outcomes.toSet)
+      // the blip was retried exactly once: bootstrap drop + candidacy re-GET
+      assert(robotsGets.get(flaky) == 2,
+        s"flaky host robots GETs = ${robotsGets.get(flaky)}; blip was cached")
+      // …and the recovered rules actually gate: no /x URL of the flaky host
+      val gated = genH.keySet.filter { u =>
+        graft.core.UrlCanon.hostOf(u) == s"h$flaky.example" &&
+          graft.core.Robots.pathOf(u).startsWith("/x")
+      }
+      assert(gated.isEmpty, s"flaky host /x crawled through the blip: ${gated.take(5)}")
     }
   }
 

@@ -173,6 +173,13 @@ class SketchSpec extends AnyFunSuite {
       // first 2 of 4 files would probe a mod-2-routed url against a
       // mod-4-routed shard — a false-negative factory, not a sketch
       assert(ShardStore.load(spark, d, 2).isEmpty)
+      // flavour check (ADVICE round 3): resuming with the OTHER --sketch
+      // over these files must refuse (⇒ rebuild-from-seen), not silently
+      // load the wrong kind and turn cuckoo deletes into no-ops
+      assert(ShardStore.load(spark, d, 4, Some(kind)).isDefined)
+      val other = if (kind == "bloom") "cuckoo" else "bloom"
+      assert(ShardStore.load(spark, d, 4, Some(other)).isEmpty,
+        s"loaded $kind shard files under --sketch=$other")
     }
   }
 
