@@ -338,9 +338,8 @@ object ShardStore {
    * ONLY — the crawl loop never does this). */
   def readAll(io: TableIO, gen: Int, numShards: Int): Seq[SeenShard] =
     (0 until numShards).flatMap { i =>
-      val p = java.nio.file.Paths.get(io.sketchDir(gen), f"shard_$i%05d.bin")
-      if (java.nio.file.Files.exists(p))
-        Some(SeenShard.deserialize(java.nio.file.Files.readAllBytes(p)))
+      val f = s"${io.sketchDir(gen)}/" + f"shard_$i%05d.bin"
+      if (io.fileExists(f)) Some(SeenShard.deserialize(io.readBytes(f)))
       else None
     }
 }

@@ -91,6 +91,10 @@ object CrawlLoop {
     // files — reliable-checkpoint semantics (executor loss re-reads a file),
     // no driver collect, no whole-sketch broadcast, no monolithic blob.
     var shards: Option[RDD[SeenShard]] = None
+    // the generation-scoped broadcast of the hybrid probe's SMALL regime
+    // (destroyed after each generation; None in the routed regime)
+    var genSketchBc: Option[org.apache.spark.broadcast.Broadcast[
+      graft.functions.ShardedBloom]] = None
 
     /** Load gen's shard files; persist + swap, dropping the previous RDD. */
     def swapInShards(gen: Int): Unit = {
@@ -174,6 +178,25 @@ object CrawlLoop {
     // the listener rows land in the `metrics` table at commit time
     val stageMetrics = new StageMetrics(spark.sparkContext)
     spark.sparkContext.addSparkListener(stageMetrics)
+
+    // Concurrent job submission for the per-generation writes: frontier,
+    // seen, outcomes (+ optional archive/host_next/robots) are independent
+    // actions over the same persisted step output, and running them
+    // sequentially stacks their fixed costs (scheduling, commit protocol,
+    // driver round-trips) into the ~5 s/generation floor that dominates
+    // small-frontier (Crawl-delay-heavy) crawls. Submitted from separate
+    // threads they overlap; shared un-materialised cache partitions are
+    // computed exactly once (BlockManager write locks serialize concurrent
+    // getOrElseUpdate), so no fetch or extract runs twice. Each thread sets
+    // its own job-local metrics label (localProperties are per-thread).
+    val writePool = java.util.concurrent.Executors.newFixedThreadPool(4,
+      (r: Runnable) => { val t = new Thread(r, "graft-gen-write"); t.setDaemon(true); t })
+    implicit val writeEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(writePool)
+    def awaitAll(fs: Seq[scala.concurrent.Future[Unit]]): Unit =
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs), scala.concurrent.duration.Duration.Inf)
+
     try {
 
     while (gen <= maxGens && frontierRows > 0L) {
@@ -214,9 +237,35 @@ object CrawlLoop {
 
       val frontier = spark.read.parquet(io.genDir("frontier", prevGen))
       val seen = spark.read.parquet(io.deltaDirs("seen", prevGen): _*).select("url")
+      // hybrid probe selection (sized by the shard checkpoint files, one FS
+      // listing): a SMALL bloom sketch is assembled once driver-side and
+      // probed through the broadcast codegen'd expression — zero extra
+      // shuffle, no RDD round-trip out of Catalyst; past the threshold (or
+      // for cuckoo, whose probe expression doesn't exist) candidates route
+      // to the shard partitions and no sketch bytes move at all. The files
+      // are current for bloom even across retraction (bloom deletes are
+      // identity), and `shards` was last swapped at prevGen by construction.
       val prefilter: SeenPrefilter =
         if (!useSketch) SeenPrefilter.Off
-        else shards.map(SeenPrefilter.Sharded(_)).getOrElse(SeenPrefilter.Off)
+        else shards match {
+          case None => SeenPrefilter.Off
+          case Some(rdd) =>
+            val bytes =
+              if (cfg.seenSketch == "bloom") io.dirBytes(io.sketchDir(prevGen))
+              else -1L
+            val blooms =
+              if (bytes >= 0 && bytes <= cfg.sketchBroadcastMaxBytes)
+                ShardStore.readAll(io, prevGen, shardsN)
+                  .collect { case b: graft.functions.BloomSeenShard => b }
+              else Nil
+            if (blooms.size == shardsN) {
+              val bc = spark.sparkContext.broadcast(
+                new graft.functions.ShardedBloom(
+                  blooms.sortBy(_.id).map(_.sketch).toArray))
+              genSketchBc = Some(bc)
+              SeenPrefilter.Bloom(bc)
+            } else SeenPrefilter.Sharded(rdd)
+        }
 
       // per-generation delay table: static corpus ground truth, or the
       // delayed hosts remembered in the robots cache (Http mode)
@@ -229,8 +278,7 @@ object CrawlLoop {
       // host-level delay windows carried from the previous generation
       val priorHostNext: Option[DataFrame] = {
         val d = io.genDir("host_next", prevGen)
-        if ((delaysDf.isDefined || isHttp) &&
-            java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+        if ((delaysDf.isDefined || isHttp) && io.dirExists(d))
           Some(spark.read.parquet(d))
         else None
       }
@@ -238,58 +286,62 @@ object CrawlLoop {
       val res = FrontierStep.step(spark, frontier, seen, prefilter, docs, cfg,
         prevGen, delaysDf, priorHostNext, robotsCache)
 
-      // ---- the "fanout exchange" write: discovered computed once, two readers;
-      //      all counts observed on the writes themselves (no extra scans)
+      // ---- the "fanout exchange" writes: discovered computed once, two
+      // readers; all counts observed on the writes themselves (no extra
+      // scans); the 3-6 independent write actions submit CONCURRENTLY so
+      // their fixed costs overlap (see writePool note above)
       val obsFrontier = Observation()
-      stageMetrics.labelled(gen, "frontier_write") {
-        // politeness + fetch + extract + normalise + filter + cull all
-        // evaluate inside this action (the reference's per-task pipeline,
-        // worker.rs:68-131) — its Spark stages carry their wall-times
-        res.nextFrontier.select(taskCols.map(col): _*)
-          .observe(obsFrontier, count(lit(1)).as("rows"))
-          .write.mode("overwrite").parquet(io.genDir("frontier", gen))
-      }
-
       val obsSeen = Observation()
-      stageMetrics.labelled(gen, "seen_write") {
-        res.discovered.select(col("url"), lit(gen).as("gen"))
-          .observe(obsSeen, count(lit(1)).as("rows"))
-          .write.mode("overwrite").parquet(io.genDir("seen", gen))
-      }
-
       val obsOut = Observation()
-      stageMetrics.labelled(gen, "outcomes_write") {
-        res.outcomes
-          .observe(obsOut,
-            count(lit(1)).as("n"),
-            sum(when(col("outcome") === "ok", 1L).otherwise(0L)).as("ok"),
-            sum(when(col("outcome") === "err", 1L).otherwise(0L)).as("err"),
-            sum(when(col("outcome") === "reject", 1L).otherwise(0L)).as("reject"))
-          .write.mode("overwrite").parquet(io.genDir("outcomes", gen))
-      }
-
-      // ---- S7 archive (non-default): fetched payloads per generation
-      res.archive.foreach { a =>
-        stageMetrics.labelled(gen, "archive_write") {
-          a.write.mode("overwrite").parquet(io.genDir("archive", gen))
-        }
-      }
-
-      // ---- crawl-delay host windows for the next generation (tiny table:
-      // one row per delayed host with an open window)
-      res.hostNext.foreach { hn =>
-        stageMetrics.labelled(gen, "host_next_write") {
-          hn.write.mode("overwrite").parquet(io.genDir("host_next", gen))
-        }
-      }
-
-      // ---- robots cache append (Http mode): this generation's cache-miss
-      // fetches become a durable delta — each host pays its robots RTT once
-      res.newRobots.foreach { nr =>
-        stageMetrics.labelled(gen, "robots_write") {
-          nr.write.mode("overwrite").parquet(io.genDir("robots", gen))
-        }
-      }
+      awaitAll(Seq(
+        scala.concurrent.Future {
+          stageMetrics.labelled(gen, "frontier_write") {
+            // politeness + fetch + extract + normalise + filter + cull all
+            // evaluate inside this action (the reference's per-task pipeline,
+            // worker.rs:68-131) — its Spark stages carry their wall-times
+            res.nextFrontier.select(taskCols.map(col): _*)
+              .observe(obsFrontier, count(lit(1)).as("rows"))
+              .write.mode("overwrite").parquet(io.genDir("frontier", gen))
+          }
+        },
+        scala.concurrent.Future {
+          stageMetrics.labelled(gen, "seen_write") {
+            res.discovered.select(col("url"), lit(gen).as("gen"))
+              .observe(obsSeen, count(lit(1)).as("rows"))
+              .write.mode("overwrite").parquet(io.genDir("seen", gen))
+          }
+        },
+        scala.concurrent.Future {
+          stageMetrics.labelled(gen, "outcomes_write") {
+            res.outcomes
+              .observe(obsOut,
+                count(lit(1)).as("n"),
+                sum(when(col("outcome") === "ok", 1L).otherwise(0L)).as("ok"),
+                sum(when(col("outcome") === "err", 1L).otherwise(0L)).as("err"),
+                sum(when(col("outcome") === "reject", 1L).otherwise(0L)).as("reject"))
+              .write.mode("overwrite").parquet(io.genDir("outcomes", gen))
+          }
+        }) ++
+        // S7 archive (non-default): fetched payloads per generation
+        res.archive.map(a => scala.concurrent.Future {
+          stageMetrics.labelled(gen, "archive_write") {
+            a.write.mode("overwrite").parquet(io.genDir("archive", gen))
+          }
+        }) ++
+        // crawl-delay host windows for the next generation (tiny table:
+        // one row per delayed host with an open window)
+        res.hostNext.map(hn => scala.concurrent.Future {
+          stageMetrics.labelled(gen, "host_next_write") {
+            hn.write.mode("overwrite").parquet(io.genDir("host_next", gen))
+          }
+        }) ++
+        // robots cache append (Http mode): this generation's cache-miss
+        // fetches become a durable delta — each host pays its robots RTT once
+        res.newRobots.map(nr => scala.concurrent.Future {
+          stageMetrics.labelled(gen, "robots_write") {
+            nr.write.mode("overwrite").parquet(io.genDir("robots", gen))
+          }
+        }))
 
       // ---- incremental seen-sketch maintenance (the discovered set is still
       //      persisted from the step; no seen rescan unless a shard rebuilds)
@@ -348,21 +400,13 @@ object CrawlLoop {
         s""""$k":$v"""
       }.mkString("{", ",", "}")
       // per-partition lineage: the committed output files of this generation
-      // (name + bytes straight from directory metadata — no data scan)
-      def lineage(table: String): String = {
-        val dir = java.nio.file.Paths.get(io.genDir(table, gen))
-        if (!java.nio.file.Files.isDirectory(dir)) "[]"
-        else scala.util.Using.resource(java.nio.file.Files.list(dir)) { stream =>
-          val files = stream.iterator()
-          val out = Seq.newBuilder[String]
-          while (files.hasNext) {
-            val f = files.next()
-            val name = f.getFileName.toString
-            if (name.endsWith(".parquet"))
-              out += s"""{"file":"$name","bytes":${java.nio.file.Files.size(f)}}"""
-          }
-          out.result().mkString("[", ",", "]")
-        }
+      // (name + bytes straight from directory metadata — no data scan),
+      // FS-API-addressed like the rest of the state layer
+      def lineage(table: String): String = io.lineageJson(table, gen)
+      val prefilterMode = prefilter match {
+        case SeenPrefilter.Off        => "off"
+        case _: SeenPrefilter.Bloom   => "bloom_bc"
+        case _: SeenPrefilter.Sharded => "sharded"
       }
       io.commit(gen,
         s"""{"gen":$gen,"frontier_rows":$frontierRows,"fetched":$fetchedN,""" +
@@ -370,6 +414,7 @@ object CrawlLoop {
         s""""reject":${st.rejectCount},"wall_ms":$wallMs,""" +
         s""""next_frontier_rows":$nextRows,""" +
         s""""stages":$stages,""" +
+        s""""prefilter":"$prefilterMode",""" +
         s""""partitions":${spark.sparkContext.defaultParallelism},""" +
         s""""lineage":{"frontier":${lineage("frontier")},"seen":${lineage("seen")}}}""")
 
@@ -377,7 +422,12 @@ object CrawlLoop {
       // point again, so their sketch checkpoints are garbage
       if (useSketch) io.dropSketchesBefore(gen - 1)
 
-      spark.catalog.clearCache() // drop per-step persists; next gen reads parquet
+      // drop exactly this step's persists (next gen reads parquet) — a
+      // session-wide clearCache() would silently evict tables the CALLER
+      // cached alongside the crawl — and this generation's probe broadcast
+      res.persisted.foreach(_.unpersist(blocking = false))
+      genSketchBc.foreach(_.destroy())
+      genSketchBc = None
 
       // ---- log-structured seen compaction: fold the delta log into one
       // bucketed segment once it exceeds the threshold (crash-safe: data
@@ -409,7 +459,9 @@ object CrawlLoop {
     }
     RunResult(stats.result(), gen - 1)
     } finally {
+      writePool.shutdown()
       shards.foreach(_.unpersist(blocking = false))
+      genSketchBc.foreach(_.destroy())
       spark.sparkContext.removeSparkListener(stageMetrics)
     }
   }
@@ -425,7 +477,7 @@ object CrawlLoop {
   /** All archived fetched payloads across committed generations (S7). */
   def archivedDocs(spark: SparkSession, io: TableIO): DataFrame = {
     val dirs = io.committedGens().map(g => io.genDir("archive", g))
-      .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+      .filter(io.dirExists)
     if (dirs.isEmpty) {
       import spark.implicits._
       Seq.empty[Document].toDF()
@@ -437,7 +489,7 @@ object CrawlLoop {
    * shuffle_read_bytes, shuffle_write_bytes). */
   def stageTimings(spark: SparkSession, io: TableIO): DataFrame = {
     val dirs = io.committedGens().map(g => io.genDir("metrics", g))
-      .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+      .filter(io.dirExists)
     if (dirs.isEmpty) {
       import spark.implicits._
       Seq.empty[StageRow].toDF()

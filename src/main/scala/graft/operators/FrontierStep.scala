@@ -44,6 +44,14 @@ final case class CrawlConfig(
     seenSketch: String = "bloom",
     /** Hash buckets of the partitioned seen-sketch. */
     sketchShards: Int = 16,
+    /** Hybrid probe switchover: when the bloom sketch's total checkpoint
+     * bytes are at or under this, the loop assembles it ONCE from the shard
+     * files and probes via the broadcast codegen'd expression (zero extra
+     * shuffle, stays inside whole-stage codegen); above it — or for cuckoo —
+     * candidates route to the shard partitions (no sketch bytes move). 64 MB
+     * default: well under executor/driver headroom, far above any sketch
+     * that would make the routed shuffle noticeable. */
+    sketchBroadcastMaxBytes: Long = 64L << 20,
     /** Bloom shard fill ratio that triggers a per-bucket rebuild with
      * doubled geometry (0.5 is the designed load). */
     shardFillCap: Double = 0.47,
@@ -94,7 +102,12 @@ final case class StepResult(
     /** (host, disallows, delay) — robots rules fetched over the wire THIS
      * generation (Http mode, cache misses only). The caller appends them to
      * the durable robots cache and feeds the union back as `robotsCache`. */
-    newRobots: Option[DataFrame] = None
+    newRobots: Option[DataFrame] = None,
+    /** Every frame `step` persisted — the caller unpersists EXACTLY these
+     * once the generation is committed. (A session-wide
+     * `spark.catalog.clearCache()` would silently evict any tables the
+     * CALLER cached alongside the crawl.) */
+    persisted: Seq[DataFrame] = Nil
 )
 
 /**
@@ -163,6 +176,10 @@ object FrontierStep {
       robotsCache: Option[DataFrame] = None): StepResult = {
     import spark.implicits._
 
+    // every frame this step persists, returned via StepResult.persisted so
+    // the caller can unpersist exactly these after the commit fence
+    val persistedFrames = Seq.newBuilder[DataFrame]
+
     // --- O1: politeness priority-queue cap, skew-salted, delay-aware ----------
     val delaysActive = delays.isDefined || priorHostNext.isDefined
     val marked = (if (!delaysActive)
@@ -171,6 +188,7 @@ object FrontierStep {
         Politeness.markEligibleTopK(frontier, cfg.perHostCap, cfg.saltBuckets,
           gen.toLong, delays))
       .persist()
+    persistedFrames += marked
     // Skew-break (north_rule "skewed-host salting to break hot-domain
     // partitions"): the politeness window leaves rows HOST-partitioned, so a
     // Zipf-head host would put its whole fetch+extract fan-out in one task.
@@ -258,6 +276,8 @@ object FrontierStep {
             "outcome", "links", "spans", "parse_cov")
           .persist()
     }
+
+    persistedFrames += fetched // no-op for the unpersisted Generator mode
 
     // --- S7 (non-default): durable archive of fetched payloads ----------------
     val archive: Option[DataFrame] =
@@ -372,6 +392,7 @@ object FrontierStep {
           }
           val fetchedRules = FrontierStep.fetchRobotsRules(missingHosts.as[String], rw, cTo, rTo)
             .persist() // read twice: the filter join below + the cache append
+          persistedFrames += fetchedRules
           // only DEFINITIVE answers enter the durable cache — a transient
           // robots failure (outcome Reject ⇒ definitive=false) is allow-all
           // for this generation only and re-fetched next generation
@@ -413,6 +434,7 @@ object FrontierStep {
         allowed.join(seen, Seq("url"), "left_anti")
       case pf if cfg.useBloomPrefilter =>
         val tagged = pf.tag(allowed).persist()
+        persistedFrames += tagged
         val definitelyNew = tagged.filter(!col("_maybe")).drop("_maybe")
         val maybeSeen = tagged.filter(col("_maybe")).drop("_maybe")
         definitelyNew.unionByName(
@@ -422,6 +444,7 @@ object FrontierStep {
     }
 
     val discovered = discoveredUrls.select("url", "host").persist()
+    persistedFrames += discovered
 
     // --- O2: outcome routing — requeue rejects (documented semantics, flagged)
     val rejects =
@@ -476,7 +499,8 @@ object FrontierStep {
 
     StepResult(nextFrontier, discovered, outcomes, archive,
       Map("links" -> obsLinks, "candidates" -> obsCandidates, "allowed" -> obsAllowed),
-      hostNext = hostNextUpdated, newRobots = newRobotsOut)
+      hostNext = hostNextUpdated, newRobots = newRobotsOut,
+      persisted = persistedFrames.result())
   }
 
   /** Deterministic task priority ∈ [0,10) — pure, shared with the oracle. */

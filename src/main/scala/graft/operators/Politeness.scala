@@ -34,7 +34,14 @@ object Politeness {
   /** Adds boolean column `selected`. Input needs columns
    * (url, host, priority, next_fetch). Exact: equivalent to a single
    * per-host top-k by (priority, next_fetch, url). */
-  def markTopKPerHost(tasks: DataFrame, k: Int, saltBuckets: Int = 16): DataFrame = {
+  def markTopKPerHost(tasks: DataFrame, k: Int, saltBuckets: Int = 16): DataFrame =
+    markTopKVarCap(tasks.withColumn("_k", lit(k.toLong)), saltBuckets)
+
+  /** The count-gated salted top-k over a PER-ROW cap column `_k` (constant
+   * within each host — it is host-derived: the plain cap, or 1 for
+   * crawl-delayed hosts). One host-count aggregate and one ranking pass
+   * whatever mix of caps is present; `_k` is consumed. */
+  private def markTopKVarCap(tasks: DataFrame, saltBuckets: Int): DataFrame = {
     val order = Seq(col("priority").asc, col("next_fetch").asc, col("url").asc)
     val counts = tasks.groupBy(col("host")).agg(count(lit(1)).as("_hn"))
       .withColumnRenamed("host", "_chost")
@@ -48,21 +55,21 @@ object Politeness {
     val joined = tasks.join(counts, col("host") <=> col("_chost"), "left")
       .drop("_chost")
       .withColumn("_hn", coalesce(col("_hn"), lit(1L)))
-    // long tail: whole host fits under the cap — selected without ranking
-    val under = joined.filter(col("_hn") <= k)
-      .drop("_hn").withColumn("selected", lit(true))
-    // hot heads: exact two-stage salted top-k
-    val over = joined.filter(col("_hn") > k).drop("_hn")
+    // long tail: whole host fits under its cap — selected without ranking
+    val under = joined.filter(col("_hn") <= col("_k"))
+      .drop("_hn", "_k").withColumn("selected", lit(true))
+    // hot heads: exact two-stage salted top-k against the per-host cap
+    val over = joined.filter(col("_hn") > col("_k")).drop("_hn")
     val salted = over.withColumn("_salt", pmod(xxhash64(col("url")), lit(saltBuckets)))
     val w1 = Window.partitionBy(col("host"), col("_salt")).orderBy(order: _*)
     val stage1 = salted.withColumn("_rn1", row_number().over(w1))
     // rank only the survivors; losers of stage 1 keep _rn2 = null ⇒ not selected
     val overMarked = stage1
       .withColumn("_rn2",
-        when(col("_rn1") <= k, row_number().over(
-          Window.partitionBy(col("host"), col("_rn1") <= k).orderBy(order: _*))))
-      .withColumn("selected", col("_rn1") <= k && col("_rn2") <= k)
-      .drop("_salt", "_rn1", "_rn2")
+        when(col("_rn1") <= col("_k"), row_number().over(
+          Window.partitionBy(col("host"), col("_rn1") <= col("_k")).orderBy(order: _*))))
+      .withColumn("selected", col("_rn1") <= col("_k") && col("_rn2") <= col("_k"))
+      .drop("_salt", "_rn1", "_rn2", "_k")
     under.unionByName(overMarked)
   }
 
@@ -88,12 +95,16 @@ object Politeness {
     val markedEligible = delays match {
       case None => markTopKPerHost(eligible, k, saltBuckets)
       case Some(d) =>
+        // per-row effective cap: 1 for crawl-delayed hosts, k otherwise —
+        // ONE count gate + ONE salted top-k pass over the whole eligible set
+        // (the former delayed/normal split ran the host-count aggregate
+        // twice over disjoint subsets for the same answer)
         val dl = d.select(col("host"), col("delay"))
         val tagged = eligible.join(dl, Seq("host"), "left")
-        val delayed = tagged.filter(col("delay") >= 1).drop("delay")
-        val normal = tagged.filter(col("delay").isNull || col("delay") < 1).drop("delay")
-        markTopKPerHost(normal, k, saltBuckets)
-          .unionByName(markTopKPerHost(delayed, 1, saltBuckets))
+          .withColumn("_k",
+            when(col("delay") >= 1, lit(1L)).otherwise(lit(k.toLong)))
+          .drop("delay")
+        markTopKVarCap(tagged, saltBuckets)
     }
     markedEligible.unionByName(ineligible)
   }

@@ -1,7 +1,9 @@
 package graft.plans
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 
 /**
  * Snapshot-directory table layer (SURVEY.md §7.5). The sandbox ships no
@@ -12,6 +14,15 @@ import scala.jdk.CollectionConverters._
  * manifests, so a crashed half-written generation is invisible and resume
  * is safe from any checkpoint (north_rule resumability).
  *
+ * All paths go through the Hadoop FileSystem API resolved from `root` — the
+ * same treatment the sketch shard store got in round 3 (ShardStore scaladoc):
+ * a local dir in the sandbox, HDFS/S3/any Hadoop-addressable store on a real
+ * cluster. The commit fence, delta listing, compaction markers and sketch GC
+ * are therefore cluster-addressable; nothing in the state layer touches
+ * `java.nio`. Commit publishes use `FileContext.rename(OVERWRITE)` — atomic
+ * on HDFS and local fs; object stores without atomic rename should front the
+ * commit dir with HDFS or swap in the Iceberg seam below.
+ *
  * The `seen` table is APPEND-ONLY per-generation deltas — never rewritten
  * (at 10^10 URLs a rewrite per generation would be the scale killer); the
  * anti-join reads the union of deltas, each delta disjoint by construction
@@ -20,38 +31,83 @@ import scala.jdk.CollectionConverters._
  * Swap-in for a real cluster: Iceberg `MERGE INTO seen` + snapshot commit —
  * same seam, one class.
  */
-final class TableIO(val root: String) {
-  private def p(parts: String*): Path = Paths.get(root, parts: _*)
-  Files.createDirectories(p("_commits"))
+final class TableIO(val root: String,
+    conf: Configuration = TableIO.defaultConf()) {
+  private val rootPath = new Path(root)
+  private val fs: FileSystem = rootPath.getFileSystem(conf)
+  private val fc: FileContext =
+    FileContext.getFileContext(fs.makeQualified(rootPath).toUri, conf)
+  private def p(parts: String*): Path = parts.foldLeft(rootPath)(new Path(_, _))
+  fs.mkdirs(p("_commits"))
 
-  /** Materialized directory listing — Files.list streams hold an fd until
-   * closed; this runs several times per generation on long crawls. */
+  /** Materialized directory listing (names only; empty if missing). */
   private def listNames(dir: Path): Seq[String] =
-    scala.util.Using.resource(Files.list(dir))(_.iterator.asScala
-      .map(_.getFileName.toString).toVector)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).map(_.getPath.getName).toVector
+
+  /** Atomic write-temp + overwriting-rename publish of a small JSON file. */
+  private def publishJson(tmp: Path, dst: Path, payload: String): Unit = {
+    val out = fs.create(tmp, true)
+    try out.write(payload.getBytes(UTF_8)) finally out.close()
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+      Options.Rename.OVERWRITE)
+  }
 
   def genDir(table: String, gen: Int): String = p(table, f"gen=$gen%05d").toString
+
+  /** True iff `dir` (a path this TableIO produced) exists as a directory —
+   * the loop's probe for optional per-generation tables (host_next, archive,
+   * metrics), FS-API-addressed like everything else here. */
+  def dirExists(dir: String): Boolean = fs.isDirectory(new Path(dir))
+
+  /** Driver-side read of one small file (manifests, sketch shard inspection). */
+  def readBytes(file: String): Array[Byte] = {
+    val path = new Path(file)
+    val st = fs.getFileStatus(path)
+    val bytes = new Array[Byte](st.getLen.toInt)
+    val in = fs.open(path)
+    try in.readFully(0L, bytes) finally in.close()
+    bytes
+  }
+
+  def fileExists(file: String): Boolean = fs.exists(new Path(file))
+
+  /** Total bytes of a directory's files (−1 if missing) — one FS listing,
+   * no data read. Sizes the hybrid sketch-probe decision. */
+  def dirBytes(dir: String): Long = {
+    val path = new Path(dir)
+    if (!fs.isDirectory(path)) -1L
+    else fs.listStatus(path).map(_.getLen).sum
+  }
+
+  /** `[{"file":…,"bytes":…}]` of a generation dir's parquet parts — lineage
+   * straight from directory metadata, no data scan. */
+  def lineageJson(table: String, gen: Int): String = {
+    val dir = new Path(genDir(table, gen))
+    if (!fs.isDirectory(dir)) "[]"
+    else fs.listStatus(dir).iterator
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => s"""{"file":"${st.getPath.getName}","bytes":${st.getLen}}""")
+      .mkString("[", ",", "]")
+  }
 
   private def manifest(gen: Int): Path = p("_commits", f"gen_$gen%05d.json")
 
   /** Atomically publish generation `gen` with its lineage/metrics payload. */
-  def commit(gen: Int, payloadJson: String): Unit = {
-    val tmp = p("_commits", f"_tmp_gen_$gen%05d.json")
-    Files.writeString(tmp, payloadJson)
-    Files.move(tmp, manifest(gen), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  def commit(gen: Int, payloadJson: String): Unit =
+    publishJson(p("_commits", f"_tmp_gen_$gen%05d.json"), manifest(gen),
+      payloadJson)
 
   def committedGens(): Seq[Int] =
-    if (!Files.isDirectory(p("_commits"))) Nil
-    else listNames(p("_commits"))
+    listNames(p("_commits"))
       .collect { case s if s.startsWith("gen_") && s.endsWith(".json") =>
         s.stripPrefix("gen_").stripSuffix(".json").toInt }
       .sorted
 
   def lastCommittedGen(): Option[Int] = committedGens().lastOption
 
-  def readManifest(gen: Int): String = Files.readString(manifest(gen))
+  def readManifest(gen: Int): String =
+    new String(readBytes(manifest(gen).toString), UTF_8)
 
   // --- compaction (log-structured maintenance of append-only tables) --------
   def compactDir(table: String, upToGen: Int): String =
@@ -64,18 +120,14 @@ final class TableIO(val root: String) {
    * marker is written atomically AFTER the compacted data; a crashed
    * half-written compaction is invisible. Old deltas are retained (readers
    * ignore them once covered; GC is a separate concern). */
-  def commitCompaction(table: String, upToGen: Int, rows: Long): Unit = {
-    val tmp = p("_commits", f"_tmp_compact_${table}_$upToGen%05d.json")
-    Files.writeString(tmp,
+  def commitCompaction(table: String, upToGen: Int, rows: Long): Unit =
+    publishJson(p("_commits", f"_tmp_compact_${table}_$upToGen%05d.json"),
+      compactMarker(table, upToGen),
       s"""{"table":"$table","upto_gen":$upToGen,"rows":$rows}""")
-    Files.move(tmp, compactMarker(table, upToGen), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
 
   /** Latest committed compaction of `table` at or below `upToGen`. */
   def lastCompaction(table: String, upToGen: Int): Option[Int] =
-    if (!Files.isDirectory(p("_commits"))) None
-    else listNames(p("_commits"))
+    listNames(p("_commits"))
       .collect { case s if s.startsWith(s"compact_${table}_") && s.endsWith(".json") =>
         s.stripPrefix(s"compact_${table}_").stripSuffix(".json").toInt }
       .filter(_ <= upToGen).maxOption
@@ -88,7 +140,7 @@ final class TableIO(val root: String) {
     val floor = compacted.getOrElse(-1)
     (base ++ committedGens().filter(g => g > floor && g <= upToGen)
       .map(genDir(table, _)))
-      .filter(d => Files.isDirectory(Paths.get(d)))
+      .filter(d => fs.isDirectory(new Path(d)))
   }
 
   // --- per-shard sketch persistence (the sketch's reliable checkpoint) ------
@@ -100,17 +152,21 @@ final class TableIO(val root: String) {
    * commit fence — the newest committed generation's files are never
    * dropped, so resume always finds them). */
   def dropSketchesBefore(keepFrom: Int): Unit = {
-    val root = p("sketch")
-    if (Files.isDirectory(root)) listNames(root).foreach { name =>
+    val sketchRoot = p("sketch")
+    listNames(sketchRoot).foreach { name =>
       if (name.startsWith("gen=")) {
         val g = name.stripPrefix("gen=").toInt
-        if (g < keepFrom) {
-          val dir = root.resolve(name)
-          listNames(dir).foreach(f => Files.deleteIfExists(dir.resolve(f)))
-          Files.deleteIfExists(dir)
-        }
+        if (g < keepFrom) fs.delete(new Path(sketchRoot, name), true)
       }
     }
   }
+}
 
+object TableIO {
+  /** Hadoop conf for path resolution: the active Spark session's (so
+   * credentials / defaultFS set through Spark apply), else a bare one. */
+  def defaultConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
 }

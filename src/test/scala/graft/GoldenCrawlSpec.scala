@@ -573,6 +573,86 @@ class GoldenCrawlSpec extends AnyFunSuite {
     assert(state(fullDir) == state(resDir))
   }
 
+  test("hybrid seen-probe: broadcast and routed regimes are crawl-identical, switchover pinned") {
+    // the loop sizes the sketch from its checkpoint files each generation:
+    // under the threshold it assembles a broadcast ShardedBloom and probes
+    // through the codegen'd expression (no extra shuffle); over it (or for
+    // cuckoo) candidates route to the shard partitions. Both regimes must
+    // crawl identically, and the manifests must record which ran.
+    val base = CrawlConfig(corpus = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24),
+      perHostCap = 3, fetchMode = graft.operators.FetchMode.Generator)
+    val seeds = CorpusGen.seeds(base.corpus, 3)
+    val (genBc, outBc, oracle) = runBoth(base, seeds, maxGens = 12) // tiny sketch ⇒ broadcast regime
+    def prefilters(io: TableIO) = io.committedGens().filter(_ > 0)
+      .map(g => io.readManifest(g)).map { m =>
+        """"prefilter":"([a-z_]+)"""".r.findFirstMatchIn(m).map(_.group(1)).orNull
+      }
+    val bcModes = prefilters(lastIo)
+    assert(bcModes.nonEmpty && bcModes.forall(_ == "bloom_bc"),
+      s"expected broadcast regime under the threshold, manifests say: $bcModes")
+    val (genRt, outRt, _) = runBoth(
+      base.copy(sketchBroadcastMaxBytes = 0L), seeds, maxGens = 12) // force routed
+    val rtModes = prefilters(lastIo)
+    assert(rtModes.nonEmpty && rtModes.forall(_ == "sharded"),
+      s"expected routed regime at threshold 0, manifests say: $rtModes")
+    assert(genRt == genBc)
+    assert(outRt == outBc)
+    assert(genBc == oracle.seenGen)
+  }
+
+  test("a user-cached Dataset survives a crawl run (targeted unpersist, no cache wipe)") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val user = (1 to 100).toDF("n").cache()
+    user.count()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val cfg = CrawlConfig(corpus = CorpusConfig(seed = 42L, numHosts = 10, maxPages = 20),
+      perHostCap = 3, fetchMode = graft.operators.FetchMode.Generator)
+    val dir = Files.createTempDirectory("graft-cache").toString
+    CrawlLoop.run(spark, new TableIO(dir), CorpusGen.seeds(cfg.corpus, 2), cfg, maxGens = 6)
+    assert(user.storageLevel.useMemory, "crawl wiped the caller's cached Dataset")
+    assert(user.collect().length == 100)
+    // …and the crawl left no persists of its own behind (poll briefly:
+    // unpersist(blocking=false) may lag a beat)
+    val deadline = System.nanoTime() + 5000000000L
+    var leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leftover.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
+    }
+    assert(leftover.isEmpty, s"crawl leaked persisted RDDs: $leftover")
+    user.unpersist()
+  }
+
+  test("state layer is Hadoop-FS addressable: crawl, compaction and resume over a file:// URI workDir") {
+    // the whole state layer — commit fence, delta listing, compaction
+    // markers, lineage, sketch checkpoints + GC — must work when the workDir
+    // is addressed through a Hadoop FileSystem URI (on a real cluster:
+    // hdfs:// or s3a://; in the sandbox the file:// scheme exercises the
+    // same code path: every probe goes through FileSystem/FileContext,
+    // nothing through java.nio)
+    val spark = SparkSuite.spark
+    val cfg = CrawlConfig(corpus = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24),
+      perHostCap = 3, fetchMode = graft.operators.FetchMode.Generator,
+      seenCompactEvery = 3) // exercise the compaction markers over the URI too
+    val seeds = CorpusGen.seeds(cfg.corpus, 2)
+    val uriDir = "file://" + Files.createTempDirectory("graft-uri").toString
+    CrawlLoop.run(spark, new TableIO(uriDir), seeds, cfg, maxGens = 4) // "crash"
+    CrawlLoop.run(spark, new TableIO(uriDir), seeds, cfg, maxGens = 16) // resume via FS listing
+    val io = new TableIO(uriDir)
+    assert(io.lastCompaction("seen", io.lastCommittedGen().get).nonEmpty,
+      "compaction never committed over the URI workDir")
+    val engineGen = CrawlLoop.seenWithGen(spark, io).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val engineOutcomes = CrawlLoop.allOutcomes(spark, io).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    val oracle = SeqCrawler.crawl(cfg, seeds, maxGens = 16)
+    assert(engineGen == oracle.seenGen)
+    assert(engineOutcomes == oracle.outcomes.toSet)
+    // lineage metadata was recorded through the FS API as well
+    assert(io.readManifest(io.lastCommittedGen().get).contains("\"lineage\""))
+  }
+
   test("resume after a sketch-MODE switch rebuilds the sketch from seen (no false negatives)") {
     // run gens 0-4 with --sketch=none (no shard files on disk), then resume
     // with --sketch=bloom: the loop must rebuild the cumulative sketch from

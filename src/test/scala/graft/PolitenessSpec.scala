@@ -34,6 +34,38 @@ class PolitenessSpec extends AnyFunSuite {
     })
   }
 
+  test("markEligibleTopK (single pass, per-row caps) == brute force with delays") {
+    // delayed hosts compete under cap 1, normal hosts under k, ineligible
+    // rows (next_fetch > gen) pass through unselected — all in ONE count
+    // gate + ONE ranking pass (the former two-subset split is gone)
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val k = 3
+    val gen = 5L
+    val delayed = Set("h2.example", "h6.example", "h9.example")
+    val rows = for {
+      h <- 1 to 10
+      i <- 1 to h
+    } yield (s"http://h$h.example/p$i-${rnd.nextInt(1000)}", s"h$h.example",
+      rnd.nextInt(5), if (rnd.nextInt(4) == 0) gen + 2 else 0L)
+    val df = rows.toDF("url", "host", "priority", "next_fetch")
+    val delaysDf = delayed.toSeq.map((_, 3)).toDF("host", "delay")
+    val got = Politeness.markEligibleTopK(df, k, saltBuckets = 4, gen, Some(delaysDf))
+      .collect().map(r => (r.getAs[String]("url"), r.getAs[Boolean]("selected"))).toMap
+    assert(got.size == rows.size, "rows dropped or duplicated")
+    val want = rows.groupBy(_._2).flatMap { case (host, ts) =>
+      val (inel, elig) = ts.partition(_._4 > gen)
+      val cap = if (delayed(host)) 1 else k
+      val sel = elig.sortBy(t => (t._3, t._4, t._1)).take(cap).map(_._1).toSet
+      inel.map(t => t._1 -> false) ++ elig.map(t => t._1 -> sel.contains(t._1))
+    }
+    assert(got == want, {
+      val diff = want.collect { case (u, s) if got(u) != s => (u, s, got(u)) }
+      s"selection mismatch: ${diff.take(5)}"
+    })
+  }
+
   test("contract-violating null hosts are kept, grouped and capped at k") {
     // the crawl guarantees non-null hosts, but if the contract is ever
     // violated the operator must behave like the pure window formulation:
