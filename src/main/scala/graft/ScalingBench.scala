@@ -100,6 +100,42 @@ object ScalingBench {
       val deadline = System.nanoTime() + 90L * 1000000000L
       while (spark.sparkContext.getExecutorMemoryStatus.size < workers + 1 &&
              System.nanoTime() < deadline) Thread.sleep(200)
+      // SPARK_GRAFT_PIN=1: taskset-pin each executor JVM to its own DISJOINT
+      // core range (executor i → cores [i·C, (i+1)·C)) and the driver JVM to
+      // a fixed high range — before warmup, so JIT warms on the final cores.
+      // Removes the cross-JVM thread-migration noise the §2c loadavg columns
+      // showed (the scheduler bouncing 4 executor JVMs + driver across all
+      // 32 cores), the single biggest variance source in the N→4N
+      // efficiency measurement on a shared box. taskset does not RESERVE
+      // cores against co-tenants — pair this with a quiet window and
+      // interleaved A/B samples (tools/scaling_ab.sh).
+      if (sys.env.get("SPARK_GRAFT_PIN").contains("1")) {
+        val coresPerExec =
+          master.stripPrefix("local-cluster[").stripSuffix("]").split(",")(1).trim.toInt
+        val hostCores = Runtime.getRuntime.availableProcessors()
+        val execPids = new java.io.File("/proc").listFiles()
+          .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
+          .flatMap { f =>
+            val cl = new java.io.File(f, "cmdline")
+            val cmd = try new String(
+                java.nio.file.Files.readAllBytes(cl.toPath), "UTF-8")
+              catch { case _: java.io.IOException => "" }
+            if (cmd.contains("CoarseGrainedExecutorBackend")) Some(f.getName.toLong)
+            else None
+          }.sorted
+        def pin(pid: Long, lo: Int, hi: Int): Unit = {
+          val p = new ProcessBuilder("taskset", "-a", "-cp", s"$lo-$hi", pid.toString)
+            .redirectErrorStream(true).start()
+          p.waitFor()
+        }
+        execPids.zipWithIndex.foreach { case (pid, i) =>
+          pin(pid, i * coresPerExec, (i + 1) * coresPerExec - 1)
+        }
+        // driver always gets the SAME fixed slice (top 4 cores) so the N and
+        // 4N runs give the scheduler/result-handler identical resources
+        pin(ProcessHandle.current().pid(), hostCores - 4, hostCores - 1)
+        println(s"""{"pinned_executors":${execPids.length},"cores_per_exec":$coresPerExec}""")
+      }
     }
     // JIT/codegen warmup ON EVERY EXECUTOR through the exact hot path (a
     // fresh executor JVM interprets the corpus+canonicalize loop until C2
@@ -113,7 +149,7 @@ object ScalingBench {
         wf.select(col("url")).limit(1), None,
         graft.corpus.CorpusTables.documents(spark, warmCorpus), warmCfg, 0)
       wstep.outcomes.count(); wstep.discovered.count()
-      spark.catalog.clearCache()
+      wstep.persisted.foreach(_.unpersist(blocking = false))
     }
 
     // SPARK_GRAFT_SS_HOSTS scales the steady-state corpus (default matches
