@@ -1,20 +1,45 @@
 package graft.streaming
 
+import graft.core.HostFilter
+import graft.corpus.{CorpusConfig, CorpusGen}
 import graft.functions.UrlFunctions
-import graft.model.Span
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model.{Span, Task}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /**
- * Structured Streaming surface (SURVEY.md §7.7, optional future surface made
- * real): the reference's continuous consumer loop (rmqredis.rs:213-257) as a
- * stream. The BSP loop stays the primary engine (deterministic, golden-
- * tested); this surface covers continuous-ingest deployments where document
- * batches land as files and must be link-extracted / deduped / metered
- * online.
+ * Structured Streaming surface (SURVEY.md §7.7): the reference's continuous
+ * consumer loop (rmqredis.rs:213-257) as a stream. The BSP loop stays the
+ * primary engine (deterministic, golden-tested); this surface covers
+ * continuous-ingest deployments where tasks/documents arrive continuously
+ * and must be politeness-gated, fetched, link-extracted, deduped and
+ * metered online.
+ *
+ * A full streaming crawl GENERATION is two chained queries, mirroring the
+ * reference's two-queue topology (frontier queue → worker → collection/
+ * exchange, rmqredis.rs:138-159): Spark disallows two
+ * `flatMapGroupsWithState` operators in one query, and the durable seam
+ * between them is exactly where the reference has its exchange.
+ *
+ *   query 1: task stream → `politeStream` (per-host budget state, O1)
+ *            → `fetchExtractStream` (narrow fetch + extract + canonicalize,
+ *            S5/P1-P6) → candidates sink ("the exchange")
+ *   query 2: candidate stream → `discoverStream` (host/robots filter F2-F3,
+ *            stream-static LEFT ANTI vs the committed seen table J1, then
+ *            stateful first-arrival dedup J2) → discovered sink
+ *
+ * StreamingSpec pins query-level parity against the batch engine: same
+ * frontier in ⇒ same selected set and same discovered set out.
  *
  * Components:
+ *  - `politeStream`: per-host politeness budget as keyed state — at most k
+ *    fetches per host over the stream's lifetime window (the streaming form
+ *    of the per-generation cap; reset = new state dir = new generation).
+ *  - `fetchExtractStream`: the production fetch dataflow (one narrow
+ *    mapPartitions: fetch → extract → resolve+canonicalize → within-page
+ *    dedup), corpus-backed like FetchMode.Generator.
+ *  - `discoverStream`: candidates → genuinely-new URLs.
  *  - `linkStream`: streaming documents(doc_id, spans) → exploded, resolved,
  *    canonicalized candidate links (same P1-P6 operators as the batch path).
  *  - `windowedOutcomeMetrics`: per-window outcome counts with a watermark —
@@ -24,6 +49,73 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *    each canonical URL exactly once.
  */
 object FrontierStream {
+
+  /** O1 as keyed stream state: each host carries a fetch budget of `k`;
+   * within a micro-batch the host's tasks compete by the SAME deterministic
+   * queue key as the batch engine — (priority, next_fetch, url) — and
+   * winners draw down the budget. Exactly the batch politeness selection
+   * when the generation arrives as one batch; across batches the budget
+   * makes the cap hold over the whole stream window. */
+  def politeStream(spark: SparkSession, tasks: DataFrame, k: Int): Dataset[Task] = {
+    import spark.implicits._
+    val select = (host: String, it: Iterator[Task], state: GroupState[Int]) => {
+      val used = state.getOption.getOrElse(0)
+      val budget = math.max(0, k - used)
+      val winners = it.toVector
+        .sortBy(t => (t.priority, t.next_fetch, t.url))
+        .take(budget)
+      if (winners.nonEmpty) state.update(used + winners.size)
+      winners.iterator
+    }
+    tasks.as[Task].groupByKey(_.host)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(select)
+  }
+
+  /** S5 + P1-P6 as one narrow streaming stage: fetch each selected task from
+   * the deterministic corpus (the production HTTP fetcher has the identical
+   * mapPartitions shape, FrontierStep FetchMode.Http), extract hrefs,
+   * resolve + canonicalize + host-split, dedup within the page. Emits
+   * candidate (url, host) pairs. */
+  def fetchExtractStream(spark: SparkSession, tasks: Dataset[Task],
+      corpus: CorpusConfig): DataFrame = {
+    import spark.implicits._
+    tasks.mapPartitions { it =>
+      it.flatMap { tk =>
+        CorpusGen.resolvePage(corpus, tk.url) match {
+          case CorpusGen.PageLookup.Found(h, p) =>
+            val inPage = new java.util.HashSet[String]()
+            CorpusGen.pageHrefs(corpus, h, p).iterator.flatMap { href =>
+              graft.core.UrlCanon.resolveCanonHost(tk.url, href) match {
+                case Some((u, host)) if inPage.add(u) => Iterator.single((u, host))
+                case _ => Iterator.empty
+              }
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }.toDF("url", "host")
+  }
+
+  /** F2/F3 + robots + J1/J2 on a candidate stream: host filter, robots
+   * rules (corpus ground truth, broadcast), stream-static LEFT ANTI join
+   * against the committed `seen` table (statically known URLs never re-emit)
+   * and stateful first-arrival dedup for URLs discovered twice WITHIN the
+   * stream. Emits each genuinely-new canonical URL exactly once. */
+  def discoverStream(spark: SparkSession, candidates: DataFrame,
+      seen: DataFrame, filter: HostFilter, corpus: CorpusConfig): DataFrame = {
+    val f = filter
+    val keepHost = udf((h: String) => f.keep(if (h == null) "" else h))
+    val robotsMap: Map[String, Seq[String]] =
+      CorpusGen.robotsTable(corpus).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val robotsBc = spark.sparkContext.broadcast(robotsMap)
+    val robotsOk = udf((host: String, url: String) =>
+      graft.core.Robots.allowed(robotsBc.value.getOrElse(host, Nil), url))
+    val allowed = candidates
+      .filter(keepHost(col("host")))
+      .filter(robotsOk(col("host"), col("url")))
+      .join(seen.select("url"), Seq("url"), "left_anti")
+    dedupStream(spark, allowed)
+  }
 
   /** Streaming documents → candidate canonical links (append mode). */
   def linkStream(docs: DataFrame): DataFrame =

@@ -40,6 +40,90 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming crawl generation ≡ batch generation (politeness, fetch, discover parity)") {
+    // the two-query streaming crawl surface must reproduce the batch
+    // engine's generation exactly: same frontier in ⇒ same politeness
+    // selection and same discovered set out. Input = the batch engine's own
+    // frontier(1) (mixed under/over-cap hosts), seen = seeds ∪ discovered(1).
+    val s = spark
+    import s.implicits._
+    import graft.corpus.CorpusGen
+    import graft.model.Task
+    import graft.operators.{CrawlConfig, FrontierStep}
+    val corpus = CorpusConfig(seed = 42L, numHosts = 10, maxPages = 20)
+    val cfg = CrawlConfig(corpus = corpus, perHostCap = 2,
+      fetchMode = graft.operators.FetchMode.Generator)
+    val docs = CorpusTables.documents(spark, cfg.corpus)
+    val seeds = CorpusGen.seeds(corpus, 3)
+    val f0 = FrontierStep.seedFrontier(spark, seeds)
+    val step1 = FrontierStep.step(spark, f0, f0.select("url"), None, docs, cfg, 0)
+    val taskCols = Seq("url", "host", "priority", "next_fetch", "retry_count", "gen")
+    val frontier1 = step1.nextFrontier.select(taskCols.map(col): _*).persist()
+    val seen1 = f0.select("url").union(step1.discovered.select("url")).persist()
+    assert(frontier1.count() > 0)
+
+    // ---- batch reference: generation 2
+    val step2 = FrontierStep.step(spark, frontier1, seen1, None, docs, cfg, 1)
+    val batchSelected = step2.outcomes.select("url").collect().map(_.getString(0)).toSet
+    val batchDiscovered = step2.discovered.select("url").collect().map(_.getString(0)).toSet
+    assert(batchSelected.nonEmpty && batchDiscovered.nonEmpty)
+
+    // ---- streaming: query 1 — politeness (stateful) → fetch+extract
+    val fDir = Files.createTempDirectory("graft-sfrontier").toString
+    frontier1.coalesce(1).write.mode("overwrite").parquet(fDir) // ONE file ⇒ one micro-batch
+    val fSchema = spark.read.parquet(fDir).schema
+    def frontierStream = spark.readStream.schema(fSchema).parquet(fDir)
+
+    val selQ = FrontierStream.politeStream(spark, frontierStream, cfg.perHostCap)
+      .writeStream.outputMode("append").format("memory").queryName("stream_sel")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ck-sel").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    selQ.awaitTermination(120000)
+    val streamSelected = spark.table("stream_sel").collect().map(_.getString(0)).toSet
+    assert(streamSelected == batchSelected,
+      s"politeness parity broke: stream-only=${(streamSelected -- batchSelected).take(3)} " +
+      s"batch-only=${(batchSelected -- streamSelected).take(3)}")
+
+    val candQ = FrontierStream.fetchExtractStream(spark,
+        FrontierStream.politeStream(spark, frontierStream, cfg.perHostCap), corpus)
+      .writeStream.outputMode("append").format("memory").queryName("stream_cand")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ck-cand").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    candQ.awaitTermination(120000)
+
+    // ---- streaming: query 2 — the exchange feeds filter/robots/anti-join/dedup
+    val cDir = Files.createTempDirectory("graft-scand").toString
+    spark.table("stream_cand").coalesce(1).write.mode("overwrite").parquet(cDir)
+    val cSchema = spark.read.parquet(cDir).schema
+    val discQ = FrontierStream.discoverStream(spark,
+        spark.readStream.schema(cSchema).parquet(cDir), seen1, cfg.filter, corpus)
+      .writeStream.outputMode("append").format("memory").queryName("stream_disc")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ck-disc").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    discQ.awaitTermination(120000)
+    val streamDiscovered = spark.table("stream_disc").collect().map(_.getString(0)).toSet
+    assert(streamDiscovered == batchDiscovered,
+      s"discover parity broke: stream-only=${(streamDiscovered -- batchDiscovered).take(3)} " +
+      s"batch-only=${(batchDiscovered -- streamDiscovered).take(3)}")
+
+    // the per-host budget STATE actually bites across batches: replaying the
+    // same frontier as a second micro-batch into the same checkpoint emits
+    // nothing new (budgets exhausted)
+    frontier1.coalesce(1).write.mode("append").parquet(fDir)
+    val oneFilePerBatch = spark.readStream.schema(fSchema)
+      .option("maxFilesPerTrigger", 1).parquet(fDir) // original, THEN the replay
+    val selQ2 = FrontierStream.politeStream(spark, oneFilePerBatch, cfg.perHostCap)
+      .writeStream.outputMode("append").format("memory").queryName("stream_sel2")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ck-sel2").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    selQ2.awaitTermination(120000)
+    val withReplay = spark.table("stream_sel2").collect().map(_.getString(0)).toSet
+    assert(withReplay == batchSelected,
+      "politeness budget state failed to cap a replayed frontier batch")
+    frontier1.unpersist(); seen1.unpersist()
+    step1.persisted.foreach(_.unpersist()); step2.persisted.foreach(_.unpersist())
+  }
+
   test("windowed outcome metrics with watermark aggregate by window+outcome") {
     val s = spark
     import s.implicits._
