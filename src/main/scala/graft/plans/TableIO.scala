@@ -163,10 +163,12 @@ final class TableIO(val root: String,
 }
 
 object TableIO {
-  /** Hadoop conf for path resolution: the active Spark session's (so
-   * credentials / defaultFS set through Spark apply), else a bare one. */
+  /** Hadoop conf for path resolution: the active (thread-local) or default
+   * Spark session's (so credentials / defaultFS set through Spark apply),
+   * else a bare one. */
   def defaultConf(): Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 }

@@ -55,7 +55,13 @@ object FrontierStream {
    * queue key as the batch engine — (priority, next_fetch, url) — and
    * winners draw down the budget. Exactly the batch politeness selection
    * when the generation arrives as one batch; across batches the budget
-   * makes the cap hold over the whole stream window. */
+   * makes the cap hold over the whole stream window.
+   *
+   * Skew note: a keyed stateful op puts one host's batch rows in one task
+   * (no salting seam exists inside flatMapGroupsWithState) — the sort is
+   * O(rows-per-host-per-batch). Fine at stream rates; a Zipf-head backlog
+   * should be drained through the BATCH engine, whose salted two-stage
+   * top-k breaks exactly that hot spot. */
   def politeStream(spark: SparkSession, tasks: DataFrame, k: Int): Dataset[Task] = {
     import spark.implicits._
     val select = (host: String, it: Iterator[Task], state: GroupState[Int]) => {
