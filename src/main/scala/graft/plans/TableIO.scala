@@ -45,6 +45,21 @@ final class TableIO(val root: String,
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).map(_.getPath.getName).toVector
 
+  // The `_commits` listing is consulted several times per generation
+  // (anti-join delta dirs, compaction floor, resume probe); at 10^5
+  // generations each listing is an O(gens) metadata call — on HDFS/S3 a
+  // real per-generation cost. This instance is the SINGLE WRITER of its
+  // workDir (the commit-fence design assumes that), so the listing is
+  // cached and appended to on publish instead of re-listed.
+  private var commitNamesCache: Option[Vector[String]] = None
+  private def commitNames(): Vector[String] = commitNamesCache match {
+    case Some(v) => v
+    case None =>
+      val v = listNames(p("_commits")).toVector
+      commitNamesCache = Some(v)
+      v
+  }
+
   /** Atomic write-temp + overwriting-rename publish of a small JSON file. */
   private def publishJson(tmp: Path, dst: Path, payload: String): Unit = {
     val out = fs.create(tmp, true)
@@ -94,12 +109,15 @@ final class TableIO(val root: String,
   private def manifest(gen: Int): Path = p("_commits", f"gen_$gen%05d.json")
 
   /** Atomically publish generation `gen` with its lineage/metrics payload. */
-  def commit(gen: Int, payloadJson: String): Unit =
+  def commit(gen: Int, payloadJson: String): Unit = {
     publishJson(p("_commits", f"_tmp_gen_$gen%05d.json"), manifest(gen),
       payloadJson)
+    val name = f"gen_$gen%05d.json"
+    commitNamesCache = commitNamesCache.map(v => if (v.contains(name)) v else v :+ name)
+  }
 
   def committedGens(): Seq[Int] =
-    listNames(p("_commits"))
+    commitNames()
       .collect { case s if s.startsWith("gen_") && s.endsWith(".json") =>
         s.stripPrefix("gen_").stripSuffix(".json").toInt }
       .sorted
@@ -120,14 +138,17 @@ final class TableIO(val root: String,
    * marker is written atomically AFTER the compacted data; a crashed
    * half-written compaction is invisible. Old deltas are retained (readers
    * ignore them once covered; GC is a separate concern). */
-  def commitCompaction(table: String, upToGen: Int, rows: Long): Unit =
+  def commitCompaction(table: String, upToGen: Int, rows: Long): Unit = {
     publishJson(p("_commits", f"_tmp_compact_${table}_$upToGen%05d.json"),
       compactMarker(table, upToGen),
       s"""{"table":"$table","upto_gen":$upToGen,"rows":$rows}""")
+    val name = f"compact_${table}_$upToGen%05d.json"
+    commitNamesCache = commitNamesCache.map(v => if (v.contains(name)) v else v :+ name)
+  }
 
   /** Latest committed compaction of `table` at or below `upToGen`. */
   def lastCompaction(table: String, upToGen: Int): Option[Int] =
-    listNames(p("_commits"))
+    commitNames()
       .collect { case s if s.startsWith(s"compact_${table}_") && s.endsWith(".json") =>
         s.stripPrefix(s"compact_${table}_").stripSuffix(".json").toInt }
       .filter(_ <= upToGen).maxOption
