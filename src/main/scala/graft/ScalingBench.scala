@@ -162,8 +162,14 @@ object ScalingBench {
     val ssHosts = sys.env.getOrElse("SPARK_GRAFT_SS_HOSTS", "1200000").toInt
     val ssCorpus = CorpusConfig(seed = 42L, numHosts = ssHosts,
       maxPages = 400000)
+    // SPARK_GRAFT_CARRY_HOST=false switches to the narrow-shuffle variant
+    // (host re-derived post-dedup, ~25% fewer shuffle BYTES — the trade
+    // that matters when the shuffle crosses executors/network, i.e. in
+    // local-cluster mode and on real clusters; golden-tested identical)
+    val carryHost = sys.env.get("SPARK_GRAFT_CARRY_HOST").forall(_.toBoolean)
     val ssCfg = CrawlConfig(corpus = ssCorpus, perHostCap = 200,
-      bloomExpectedItems = 1L << 23, fetchMode = graft.operators.FetchMode.Generator)
+      bloomExpectedItems = 1L << 23, fetchMode = graft.operators.FetchMode.Generator,
+      carryHostThroughDedup = carryHost)
     val megaFrontier = BenchFrontier.allPages(spark, ssCorpus)
     // distributed seed-seen (a LIMIT would execute as one straggler task)
     val seedSeen = megaFrontier.select(col("url"))
