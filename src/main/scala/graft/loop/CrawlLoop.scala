@@ -442,6 +442,23 @@ object CrawlLoop {
             .write.mode("overwrite").parquet(io.compactDir("seen", gen))
           io.commitCompaction("seen", gen, obsC.get.apply("rows").asInstanceOf[Long])
         }
+        // the robots cache is read EVERY generation (Http mode) and appends
+        // a delta per generation that met new hosts — without compaction its
+        // dir list grows with the crawl exactly like seen's would (each host
+        // appears in exactly one delta, so compaction is a plain rewrite)
+        if (isHttp && cfg.useRobots) {
+          val rsegs = io.deltaDirs("robots", gen)
+          if (rsegs.size >= cfg.seenCompactEvery)
+            stageMetrics.labelled(gen, "robots_compaction") {
+              val obsR = Observation()
+              spark.read.parquet(rsegs: _*)
+                .repartition(spark.sparkContext.defaultParallelism, col("host"))
+                .observe(obsR, count(lit(1)).as("rows"))
+                .write.mode("overwrite").parquet(io.compactDir("robots", gen))
+              io.commitCompaction("robots", gen,
+                obsR.get.apply("rows").asInstanceOf[Long])
+            }
+        }
       }
 
       // ---- per-stage timing table (A2): one row per (action, spark stage)

@@ -62,8 +62,12 @@ object Similarity {
     }
     val q = queries.select(col(idCol).as("vec_id"), col("unit").as("q_unit"))
     val c = unit.select(col(idCol).as("neighbour_id"), col("unit").as("c_unit"))
+    // cosine computed AT the join, then the wide unit arrays dropped before
+    // the rank window — its partitionBy(vec_id) exchange moves 3 narrow
+    // columns, not 2×dim floats per candidate row
     val scored = q.join(c, col("vec_id") =!= col("neighbour_id"))
       .withColumn("cosine", dotUdf(col("q_unit"), col("c_unit")))
+      .select("vec_id", "neighbour_id", "cosine")
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cosine").desc, col("neighbour_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -199,24 +203,34 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: hyperplane signature bands → candidates share a band
-   * → exact re-rank. `tables` independent signatures trade recall for cost. */
+   * → exact re-rank. `tables` independent signatures trade recall for cost.
+   *
+   * Shuffle discipline (the q18 round-2 lesson applied here): the band
+   * join, candidate dedup and rank window move IDS ONLY — the 2×dim-float
+   * unit arrays would otherwise ride three exchanges per candidate; they
+   * re-attach exactly once per SURVIVING candidate for the cosine. */
   def lshTopK(vectors: DataFrame, k: Int, bits: Int = 16, tables: Int = 4,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val unit = withUnitNorm(vectors.select(col(idCol), col(embCol)), embCol)
       .select(col(idCol).as("id"), col("unit"))
     val tablesDf = (0 until tables).map { t =>
-      unit.withColumn("band_key",
-        concat_ws(":", lit(t), hpSigUdf(col("unit"), lit(bits), lit(t))))
+      unit.select(col("id"),
+        concat_ws(":", lit(t), hpSigUdf(col("unit"), lit(bits), lit(t))).as("band_key"))
     }.reduce(_ unionByName _)
-    val a = tablesDf.select(col("band_key"), col("id").as("vec_id"), col("unit").as("q_unit"))
-    val b = tablesDf.select(col("band_key"), col("id").as("neighbour_id"), col("unit").as("c_unit"))
+    val a = tablesDf.select(col("band_key"), col("id").as("vec_id"))
+    val b = tablesDf.select(col("band_key"), col("id").as("neighbour_id"))
     val cand = a.join(b, Seq("band_key"))
       .filter(col("vec_id") =!= col("neighbour_id"))
+      .select("vec_id", "neighbour_id")
       .dropDuplicates("vec_id", "neighbour_id")
+    val scored = cand
+      .join(unit.select(col("id").as("vec_id"), col("unit").as("q_unit")), Seq("vec_id"))
+      .join(unit.select(col("id").as("neighbour_id"), col("unit").as("c_unit")), Seq("neighbour_id"))
+      .withColumn("cosine", dotUdf(col("q_unit"), col("c_unit")))
+      .select("vec_id", "neighbour_id", "cosine")
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cosine").desc, col("neighbour_id").asc)
-    cand.withColumn("cosine", dotUdf(col("q_unit"), col("c_unit")))
-      .withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("vec_id", "neighbour_id", "cosine", "rank")
   }
@@ -299,19 +313,27 @@ object Similarity {
           .sortBy { case (d, i) => (-d, i) }.take(np).map(_._2)
       })
 
-      val indexed = unit.withColumn("list", assignFinal(col("unit")))
-      val queries = unit.withColumn("probe", probeLists(col("unit"), lit(nProbe)))
-        .select(col("id").as("vec_id"), col("unit").as("q_unit"),
-          explode(col("probe")).as("list"))
-      val cand = queries.join(
-          indexed.select(col("list"), col("id").as("neighbour_id"), col("unit").as("c_unit")),
-          Seq("list"))
+      // ids-only through the probe join, dedup and rank window (the q18
+      // round-2 lesson): the nProbe-replicated query rows and every
+      // candidate row would otherwise carry dim-float arrays through three
+      // exchanges; units re-attach once per surviving candidate
+      val indexed = unit.select(col("id").as("neighbour_id"),
+        assignFinal(col("unit")).as("list"))
+      val queries = unit
+        .select(col("id").as("vec_id"),
+          explode(probeLists(col("unit"), lit(nProbe))).as("list"))
+      val cand = queries.join(indexed, Seq("list"))
         .filter(col("vec_id") =!= col("neighbour_id"))
+        .select("vec_id", "neighbour_id")
         .dropDuplicates("vec_id", "neighbour_id")
+      val scored = cand
+        .join(unit.select(col("id").as("vec_id"), col("unit").as("q_unit")), Seq("vec_id"))
+        .join(unit.select(col("id").as("neighbour_id"), col("unit").as("c_unit")), Seq("neighbour_id"))
+        .withColumn("cosine", dotUdf(col("q_unit"), col("c_unit")))
+        .select("vec_id", "neighbour_id", "cosine")
       val w = Window.partitionBy("vec_id")
         .orderBy(col("cosine").desc, col("neighbour_id").asc)
-      cand.withColumn("cosine", dotUdf(col("q_unit"), col("c_unit")))
-        .withColumn("rank", row_number().over(w))
+      scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select("vec_id", "neighbour_id", "cosine", "rank")
     } finally {

@@ -372,6 +372,27 @@ class GoldenCrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("robots cache compaction: delta log folds, hosts still pay one GET, crawl ≡ oracle") {
+    // the robots cache is read every generation, so its delta log must
+    // compact like seen's (unbounded dir lists are the 10^5-generation
+    // scale killer); compaction must not lose rules or re-trigger GETs
+    val corpus = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24)
+    withLoopbackServer(corpus) { (rewrite, robotsGets) =>
+      val cfg = CrawlConfig(corpus = corpus, perHostCap = 3,
+        seenCompactEvery = 3, fetchMode = httpMode(rewrite))
+      val seeds = CorpusGen.seeds(corpus, 3)
+      val (engineGen, engineOutcomes, oracle) = runBoth(cfg, seeds, maxGens = 12)
+      assert(engineGen == oracle.seenGen)
+      assert(engineOutcomes == oracle.outcomes.toSet)
+      val last = lastIo.lastCommittedGen().get
+      assert(lastIo.lastCompaction("robots", last).nonEmpty,
+        "robots delta log never compacted")
+      import scala.jdk.CollectionConverters._
+      val over = robotsGets.asScala.filter(_._2 > 1)
+      assert(over.isEmpty, s"robots re-fetched after compaction: $over")
+    }
+  }
+
   test("HTTP Crawl-delay learned from robots.txt over the wire ≡ corpus ground truth") {
     // every 3rd host serves 'Crawl-delay: d' in its robots.txt; the Http
     // crawl must learn it via the robots cache and space fetches exactly as
