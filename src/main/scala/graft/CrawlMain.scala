@@ -14,6 +14,10 @@ import org.apache.spark.sql.SparkSession
  *                  [--whitelist=FILE] [--blacklist=FILE] [--sketch=bloom|cuckoo|none] [--archive]
  *                  [--delay-every=N]  (every Nth corpus host declares a robots
  *                  Crawl-delay of 2-4 politeness windows; 0/absent = none)
+ *                  [--sketch-bc-max=BYTES]  (hybrid probe switchover: bloom
+ *                  sketches at or under BYTES broadcast + probe via the
+ *                  codegen expression, larger ones take the routed shard
+ *                  probe; 0 forces routed — default 64 MiB)
  * Filter-list files: one host substring per line, trimmed, blanks dropped
  * (reference filter.rs:93-105); an EMPTY file — the reference ships empty
  * lists, filtering defaults off (main.rs:182-188) — yields NoFilter.
@@ -67,6 +71,8 @@ object CrawlMain {
       filter = hostFilter,
       seenSketch = flag("sketch").getOrElse("bloom"),
       archiveFetched = flags.contains("--archive"),
+      sketchBroadcastMaxBytes =
+        flag("sketch-bc-max").map(_.toLong).getOrElse(64L << 20),
       bloomExpectedItems = 1L << 22)
     val io = new TableIO(workDir)
     val t0 = System.nanoTime()
