@@ -102,6 +102,39 @@ object FrontierStream {
     }.toDF("url", "host")
   }
 
+  /** The PRODUCTION form of the streaming fetch stage: real sockets via
+   * HttpFetcher (one pooled client per partition), HTML anchor extraction,
+   * fused resolve+canonicalize, within-page dedup — the same mapPartitions
+   * body as the batch engine's FetchMode.Http, minus archive. `rewrite`
+   * maps a task URL to the URL actually fetched (identity in production;
+   * tests map corpus hosts to a loopback server). Non-Ok fetches emit no
+   * candidates (outcome routing lives in the batch loop; a streaming
+   * deployment would tee outcomes from the same pass). */
+  def fetchExtractStreamHttp(spark: SparkSession, tasks: Dataset[Task],
+      rewrite: String => String, connectTimeoutMs: Int = 5000,
+      requestTimeoutMs: Int = 20000): DataFrame = {
+    import spark.implicits._
+    val rw = rewrite
+    tasks.mapPartitions { it =>
+      lazy val client = graft.sources.HttpFetcher.newClient(connectTimeoutMs)
+      it.flatMap { tk =>
+        val r = graft.sources.HttpFetcher.fetchOne(client, rw(tk.url), requestTimeoutMs)
+        if (r.outcome != graft.model.Outcome.Ok) Iterator.empty
+        else graft.core.UrlCanon.decodeUtf8(r.body) match {
+          case None => Iterator.empty
+          case Some(html) =>
+            val inPage = new java.util.HashSet[String]()
+            graft.core.Extract.rawHrefs(html).iterator.flatMap { href =>
+              graft.core.UrlCanon.resolveCanonHost(tk.url, href) match {
+                case Some((u, host)) if inPage.add(u) => Iterator.single((u, host))
+                case _ => Iterator.empty
+              }
+            }
+        }
+      }
+    }.toDF("url", "host")
+  }
+
   /** F2/F3 + robots + J1/J2 on a candidate stream: host filter, robots
    * rules (corpus ground truth, broadcast), stream-static LEFT ANTI join
    * against the committed `seen` table (statically known URLs never re-emit)

@@ -124,6 +124,64 @@ class StreamingSpec extends AnyFunSuite {
     step1.persisted.foreach(_.unpersist()); step2.persisted.foreach(_.unpersist())
   }
 
+  test("streaming HTTP fetch stage over real sockets ≡ corpus fetch stage") {
+    // the production streaming fetch (pooled HttpClient per partition, raw
+    // anchor extraction, fused resolve+canonicalize, within-page dedup)
+    // must emit exactly the candidates the corpus-backed stage emits for
+    // the same selected tasks — the loopback server serves pageHtml, whose
+    // hrefs round-trip the generator's (FetcherSpec invariant)
+    val s = spark
+    import s.implicits._
+    import graft.corpus.CorpusGen
+    import graft.operators.FrontierStep
+    val corpus = CorpusConfig(seed = 42L, numHosts = 8, maxPages = 16)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val raw = ex.getRequestURI.getRawPath.stripPrefix("/")
+      val (status, body) = CorpusGen.resolvePage(corpus, s"http://$raw") match {
+        case CorpusGen.PageLookup.Found(h, p) => (200, CorpusGen.pageHtml(corpus, h, p))
+        case _ => (404, "gone")
+      }
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val rewrite: String => String = { url =>
+        val host = graft.core.UrlCanon.hostOf(url)
+        s"http://127.0.0.1:$port/$host" + graft.core.Robots.pathOf(url)
+      }
+      val fDir = Files.createTempDirectory("graft-shttp").toString
+      FrontierStep.seedFrontier(spark, CorpusGen.seeds(corpus, 4))
+        .coalesce(1).write.mode("overwrite").parquet(fDir)
+      val schema = spark.read.parquet(fDir).schema
+      def tasks = FrontierStream.politeStream(spark,
+        spark.readStream.schema(schema).parquet(fDir), 3)
+      val httpQ = FrontierStream.fetchExtractStreamHttp(spark, tasks, rewrite)
+        .writeStream.outputMode("append").format("memory").queryName("shttp_cand")
+        .option("checkpointLocation", Files.createTempDirectory("graft-ck-sh").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      httpQ.awaitTermination(120000)
+      val corpusQ = FrontierStream.fetchExtractStream(spark, tasks, corpus)
+        .writeStream.outputMode("append").format("memory").queryName("scorp_cand")
+        .option("checkpointLocation", Files.createTempDirectory("graft-ck-sc").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      corpusQ.awaitTermination(120000)
+      def set(t: String) = spark.table(t).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val http = set("shttp_cand")
+      val corp = set("scorp_cand")
+      assert(http.nonEmpty)
+      assert(http == corp,
+        s"http-only=${(http -- corp).take(3)} corpus-only=${(corp -- http).take(3)}")
+    } finally server.stop(0)
+  }
+
   test("windowed outcome metrics with watermark aggregate by window+outcome") {
     val s = spark
     import s.implicits._
