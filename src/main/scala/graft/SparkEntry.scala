@@ -214,7 +214,11 @@ object SparkEntry {
         .groupBy("vec_id").agg(count(lit(1)).as("n_neighbours"))),
     // --- similarity: IVF ANN (scale path) ------------------------------------------------------
     "q23_ann_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(t(s, dir, "embeddings"), k = 5, nLists = 8, nProbe = 3)
+      // refineSample = 40 < rows/list at both gate SFs, so the BOUNDED Lloyd
+      // refine path (not the take-everything degenerate case) is what the
+      // DuckDB oracle checks bit-exactly
+      Similarity.ivfTopK(t(s, dir, "embeddings"), k = 5, nLists = 8, nProbe = 3,
+          refineSample = 40)
         .groupBy("vec_id").agg(count(lit(1)).as("n_neighbours"))),
     // --- crawl: one BSP generation end-to-end, testdata-derived corpus so the
     // DuckDB oracle can recompute it (the Zipf demo corpus stays golden-tested
@@ -400,7 +404,7 @@ object SparkEntry {
     "q20_lang_id" -> OracleSqlGen.langIdSql,
     "q21_quality_score" -> OracleSqlGen.qualityScoreSql,
     "q22_ann_lsh" -> OracleSqlGen.annLshSql(k = 5, bits = 8, tables = 4),
-    "q23_ann_ivf" -> OracleSqlGen.annIvfSql(k = 5, nLists = 8, nProbe = 3),
+    "q23_ann_ivf" -> OracleSqlGen.annIvfSql(k = 5, nLists = 8, nProbe = 3, refineSample = 40),
     "q24_crawl_gen1" -> OracleSqlGen.crawlGenSql,
     "q25_media_meta" -> OracleSqlGen.mediaMetaSql,
     "q26_media_features" -> OracleSqlGen.mediaFeaturesSql,

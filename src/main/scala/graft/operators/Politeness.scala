@@ -63,14 +63,23 @@ object Politeness {
     val salted = over.withColumn("_salt", pmod(xxhash64(col("url")), lit(saltBuckets)))
     val w1 = Window.partitionBy(col("host"), col("_salt")).orderBy(order: _*)
     val stage1 = salted.withColumn("_rn1", row_number().over(w1))
-    // rank only the survivors; losers of stage 1 keep _rn2 = null ⇒ not selected
-    val overMarked = stage1
+    // Stage 2 ranks ONLY stage-1 survivors — at most salt·k rows per host, so
+    // the per-host window partition is bounded no matter how hot the host.
+    // Losers never enter a window: a row ranked > k inside its salt bucket
+    // already has ≥ k better same-host rows, so `selected = false` is decided
+    // without sorting it again. (Ranking losers through the same window —
+    // e.g. partitionBy(host, _rn1 <= _k) — would send every loser row of a
+    // Zipf-head host to one (host, false) partition: the exact single-task
+    // hot-host sort the salt exists to break.)
+    val survivors = stage1.filter(col("_rn1") <= col("_k"))
       .withColumn("_rn2",
-        when(col("_rn1") <= col("_k"), row_number().over(
-          Window.partitionBy(col("host"), col("_rn1") <= col("_k")).orderBy(order: _*))))
-      .withColumn("selected", col("_rn1") <= col("_k") && col("_rn2") <= col("_k"))
+        row_number().over(Window.partitionBy(col("host")).orderBy(order: _*)))
+      .withColumn("selected", col("_rn2") <= col("_k"))
       .drop("_salt", "_rn1", "_rn2", "_k")
-    under.unionByName(overMarked)
+    val losers = stage1.filter(col("_rn1") > col("_k"))
+      .withColumn("selected", lit(false))
+      .drop("_salt", "_rn1", "_k")
+    under.unionByName(survivors).unionByName(losers)
   }
 
   /** Crawl-delay-aware selection (north_rule "per-host politeness delays"

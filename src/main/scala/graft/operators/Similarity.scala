@@ -235,12 +235,33 @@ object Similarity {
       .select("vec_id", "neighbour_id", "cosine", "rank")
   }
 
+  /** Deterministic per-list refine sample: the `n` rows with smallest
+   * (md5(id), id) per `list`. Exact top-n by a total order, computed as a
+   * salted two-stage rank so NO task ever sorts a whole list (at 10^9
+   * vectors one IVF list is n/nLists rows — a single-window rank would be
+   * one straggler sort task per list; stage 2 here sees ≤ salt·n rows per
+   * list). Input needs columns (list, id, ...); output keeps them. */
+  private[graft] def refineSampleRows(assigned: DataFrame, n: Int,
+      saltBuckets: Int = 16): DataFrame = {
+    val order = Seq(md5(col("id").cast("string")).asc, col("id").asc)
+    val w1 = Window
+      .partitionBy(col("list"), pmod(xxhash64(col("id")), lit(saltBuckets)))
+      .orderBy(order: _*)
+    val survivors = assigned.withColumn("_rn1", row_number().over(w1))
+      .filter(col("_rn1") <= n)
+    val w2 = Window.partitionBy(col("list")).orderBy(order: _*)
+    survivors.withColumn("_rn2", row_number().over(w2))
+      .filter(col("_rn2") <= n)
+      .drop("_rn1", "_rn2")
+  }
+
   /** IVF ANN: deterministic centroids (md5-ordered seed sample + one Lloyd
    * pass), nProbe-list probing, exact re-rank inside probed lists.
    * Every tie and every float accumulation order is pinned (seeds by md5 of
    * id; per-list mean summed in id order) so the result is reproducible by
    * the SQL oracle. */
   def ivfTopK(vectors: DataFrame, k: Int, nLists: Int = 16, nProbe: Int = 4,
+      refineSample: Int = 4096,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
@@ -262,8 +283,12 @@ object Similarity {
       // typed mapGroups (one pass over primitive arrays) rather than dim-many
       // avg() columns — a 64-wide aggregate costs seconds of codegen
       // compilation alone and dominates small inputs. Rows are summed in id
-      // order (deterministic float accumulation). Group sizes are bounded by
-      // the sampled refine set at scale; here the full set.
+      // order (deterministic float accumulation). The refine set is CAPPED at
+      // `refineSample` vectors per list — a centroid mean needs a sample, not
+      // the population — so each mapGroups group is bounded however large the
+      // corpus; the sample is the refineSample rows with smallest (md5(id),
+      // id) per list, SQL-reproducible and selected without a full-list sort
+      // (salted two-stage rank, same idiom as Politeness).
       val bcSeed = spark.sparkContext.broadcast(seedRows)
       val assignUdf = udf((v: Seq[Float]) => {
         val a = v.toArray
@@ -277,7 +302,8 @@ object Similarity {
         best
       })
       val dim = seedRows.head.length
-      val refined = unit.withColumn("list", assignUdf(col("unit")))
+      val assigned = unit.withColumn("list", assignUdf(col("unit")))
+      val refined = refineSampleRows(assigned, refineSample)
         .select(col("list"), col("id"), col("unit")).as[(Int, Long, Seq[Float])]
         .groupByKey(_._1)
         .mapGroups { (list, it) =>

@@ -305,7 +305,7 @@ object OracleSqlGen {
        |FROM cand GROUP BY vec_id""".stripMargin
 
   // --- q23: IVF ANN neighbour counts --------------------------------------------------
-  def annIvfSql(k: Int, nLists: Int, nProbe: Int): String = {
+  def annIvfSql(k: Int, nLists: Int, nProbe: Int, refineSample: Int = 4096): String = {
     val zero = "list_transform(range(0, dim), z -> 0.0::DOUBLE)"
     s"""WITH $unitCte,
        |dm AS (SELECT max(len(embedding)) AS dim FROM embeddings),
@@ -317,7 +317,11 @@ object OracleSqlGen {
        |      row_number() OVER (PARTITION BY u.vec_id
        |        ORDER BY ${dotZip("u.unit", "sd.seed")} DESC, sd.list_idx ASC) AS rn
        |    FROM u CROSS JOIN sd) WHERE rn = 1),
-       |c0 AS (SELECT list_idx, list(unit ORDER BY vec_id) AS vs FROM a0 GROUP BY list_idx),
+       |c0 AS (SELECT list_idx, list(unit ORDER BY vec_id) AS vs FROM (
+       |    SELECT list_idx, vec_id, unit,
+       |      row_number() OVER (PARTITION BY list_idx
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+       |    FROM a0) WHERE srn <= $refineSample GROUP BY list_idx),
        |cent AS (SELECT sd.list_idx, CASE WHEN c0.vs IS NULL THEN sd.seed
        |    ELSE list_transform(
        |      list_reduce(list_concat([$zero], c0.vs),

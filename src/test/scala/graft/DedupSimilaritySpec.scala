@@ -195,6 +195,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("IVF refine sample: per-list input bounded by refineSample, exact md5-order top-n") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, floor}
+    val n = 7
+    // 3 lists × 40 rows — every list is over the cap
+    val assigned = (0L until 120L).map(i => (i, (i % 3).toInt, Seq(i.toFloat)))
+      .toDF("id", "list", "unit")
+    val sampled = Similarity.refineSampleRows(assigned, n).collect()
+      .map(r => (r.getAs[Int]("list"), r.getAs[Long]("id")))
+    val perList = sampled.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(perList.values.forall(_.size == n),
+      s"refine input not bounded at $n: ${perList.view.mapValues(_.size).toMap}")
+    // exactness: the n smallest (md5(id), id) per list — same rule the oracle runs
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md5.digest(id.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val want = (0L until 120L).groupBy(i => (i % 3).toInt).view.mapValues(ids =>
+      ids.sortBy(i => (h(i), i)).take(n).toSet).toMap
+    assert(perList == want)
+  }
+
+  test("IVF with refine sampling + full probe is still EXACTLY brute force") {
+    // sampling only moves centroids; with nProbe == nLists every list is
+    // probed, so the result must stay exact whatever the sample size
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(120)
+    val bf = Similarity.bruteForceTopK(e, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(e, k = 3, nLists = 4, nProbe = 4, refineSample = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(ivf == bf)
+  }
+
   test("ivfTopK edge cases: fewer rows than lists; empty input") {
     val s = spark
     import s.implicits._

@@ -66,6 +66,60 @@ class PolitenessSpec extends AnyFunSuite {
     })
   }
 
+  test("plan audit: stage-2 window ranks only stage-1 survivors (bounded by salt·k per host)") {
+    // The scale property the salt exists for: no window partition may receive
+    // all rows of a hot host. Stage 1 partitions by (host, salt); stage 2 by
+    // host alone but MUST sit above a `_rn1 <= _k` filter, so its per-host
+    // input is ≤ salt·k rows. A formulation that routes stage-1 losers
+    // through a window (e.g. partitionBy(host, _rn1 <= _k)) re-creates the
+    // single-task hot-host sort — this test pins the plan shape against that.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Window => LWindow}
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val rows = (1 to 100).map(i => (s"http://hot.example/p$i", "hot.example", 1, i.toLong))
+    val df = rows.toDF("url", "host", "priority", "next_fetch")
+    val plan = Politeness.markTopKPerHost(df, k = 3, saltBuckets = 4)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    // stage-1 appears once per union branch (survivors + losers), stage-2 once
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.forall(_.references.nonEmpty),
+        s"window partitions by a computed predicate (loser-sort shape): ${w.partitionSpec}")
+    }
+    val stage2 = windows.filter(_.partitionSpec.size == 1)
+    assert(stage2.size == 1, s"expected one host-only window, got ${stage2.map(_.partitionSpec)}")
+    val bounded = stage2.head.child.collect {
+      case f: LFilter if f.condition.references.map(_.name).exists(_ == "_rn1") => f
+    }
+    assert(bounded.nonEmpty,
+      "stage-2 window is not fed by a _rn1 survivor filter — its input is unbounded per host")
+  }
+
+  test("hot-host (Zipf head) selection == brute force, losers unselected") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val k = 5
+    // one head host with 5000 rows + a small tail
+    val rows = (1 to 5000).map(i =>
+        (s"http://head.example/p$i-${rnd.nextInt(100000)}", "head.example",
+          rnd.nextInt(7), rnd.nextInt(50).toLong)) ++
+      (1 to 4).map(i => (s"http://tail.example/p$i", "tail.example", 1, i.toLong))
+    val df = rows.toDF("url", "host", "priority", "next_fetch")
+    val got = Politeness.markTopKPerHost(df, k, saltBuckets = 8).collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[Boolean]("selected"))).toMap
+    assert(got.size == rows.size, "politeness dropped or duplicated rows")
+    val want = rows.groupBy(_._2).flatMap { case (_, ts) =>
+      val sel = ts.sortBy(t => (t._3, t._4, t._1)).take(k).map(_._1).toSet
+      ts.map(t => t._1 -> sel.contains(t._1))
+    }
+    assert(got == want, {
+      val diff = want.collect { case (u, s) if got(u) != s => (u, s, got(u)) }
+      s"selection mismatch: ${diff.take(5)}"
+    })
+  }
+
   test("contract-violating null hosts are kept, grouped and capped at k") {
     // the crawl guarantees non-null hosts, but if the contract is ever
     // violated the operator must behave like the pure window formulation:
