@@ -128,7 +128,12 @@ object Bench {
       s""""loop":{"gens":${res.stats.size},"fetched":$fetched,""" +
       s""""discovered":$discovered,"wall_sec":$crawlSec,""" +
       s""""urls_fetched_per_sec":$fetchPerSec,""" +
-      s""""frontier_dedup_per_sec":$dedupPerSec}}""")
+      s""""frontier_dedup_per_sec":$dedupPerSec,""" +
+      // per-generation walls straight from the committed manifests: a
+      // co-tenant-contended sample shows up as uniformly inflated gens (vs a
+      // genuine regression's localized shape), diagnosable from this JSON
+      // alone without a re-run
+      s""""per_gen_wall_ms":${res.stats.map(_.wallMs).mkString("[", ",", "]")}}}""")
     spark.stop()
   }
 }

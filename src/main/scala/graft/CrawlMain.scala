@@ -18,6 +18,12 @@ import org.apache.spark.sql.SparkSession
  *                  sketches at or under BYTES broadcast + probe via the
  *                  codegen expression, larger ones take the routed shard
  *                  probe; 0 forces routed — default 64 MiB)
+ *                  [--carry-host=true|false]  (carry `host` through the global
+ *                  dedup shuffle, or re-derive it after by char-scan. Default
+ *                  true — ~15% faster when shuffle ≈ memcpy (single box,
+ *                  tmpfs). On a NETWORK-shuffled cluster set false: −25%
+ *                  shuffle bytes at equal throughput, measured across JVMs in
+ *                  BENCH.md §2e. Results identical, golden-tested both ways.)
  * Filter-list files: one host substring per line, trimmed, blanks dropped
  * (reference filter.rs:93-105); an EMPTY file — the reference ships empty
  * lists, filtering defaults off (main.rs:182-188) — yields NoFilter.
@@ -73,6 +79,7 @@ object CrawlMain {
       archiveFetched = flags.contains("--archive"),
       sketchBroadcastMaxBytes =
         flag("sketch-bc-max").map(_.toLong).getOrElse(64L << 20),
+      carryHostThroughDedup = flag("carry-host").forall(_.toBoolean),
       bloomExpectedItems = 1L << 22)
     val io = new TableIO(workDir)
     val t0 = System.nanoTime()

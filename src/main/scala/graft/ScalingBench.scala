@@ -123,10 +123,20 @@ object ScalingBench {
             if (cmd.contains("CoarseGrainedExecutorBackend")) Some(f.getName.toLong)
             else None
           }.sorted
+        // the executor ranges and the driver's top-4 slice must be disjoint,
+        // or the "pinned" label lies about the sample — fail before pinning
+        require(execPids.length * coresPerExec <= hostCores - 4,
+          s"pinning needs ${execPids.length}*$coresPerExec executor cores + 4 driver " +
+          s"cores but the host has $hostCores — ranges would overlap; " +
+          "shrink the local-cluster geometry or unset SPARK_GRAFT_PIN")
         def pin(pid: Long, lo: Int, hi: Int): Unit = {
           val p = new ProcessBuilder("taskset", "-a", "-cp", s"$lo-$hi", pid.toString)
             .redirectErrorStream(true).start()
-          p.waitFor()
+          val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+          // a silent taskset failure means an unpinned JVM contaminating the
+          // sample with no signal in the output — treat it as a bench abort
+          if (p.waitFor() != 0)
+            sys.error(s"taskset failed pinning pid $pid to $lo-$hi: $out")
         }
         execPids.zipWithIndex.foreach { case (pid, i) =>
           pin(pid, i * coresPerExec, (i + 1) * coresPerExec - 1)

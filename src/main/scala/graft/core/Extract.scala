@@ -12,7 +12,9 @@ import graft.model.Span
  *
  * Two surfaces: span-model extraction (the durable corpus stores parsed
  * spans; links are `kind='link'` spans carrying the raw href in `media_ref`)
- * and a raw-HTML regex extractor for `body: BinaryType` payloads.
+ * and raw-HTML extraction for `body: BinaryType` payloads, backed by the
+ * tolerant one-pass HTML5-style tokenizer in HtmlScan — the analogue of the
+ * reference's full DOM parse (html.rs:25-27).
  */
 object Extract {
 
@@ -27,67 +29,43 @@ object Extract {
       .flatMap(s => resolveLink(baseUrl, s.media_ref))
       .toSeq
 
-  // `<a ... href="...">` / `<a ... href='...'>` — href-less anchors produce
-  // no match, mirroring html.rs:97-120.
-  private val AnchorHref =
-    """(?is)<a\b[^>]*?\bhref\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""".r
-
-  /** Raw hrefs of an HTML body, in document order. */
-  def rawHrefs(html: String): Seq[String] =
-    AnchorHref.findAllMatchIn(html).map { m =>
-      Option(m.group(2)).orElse(Option(m.group(3))).getOrElse(m.group(4))
-    }.toSeq
+  /** Raw hrefs of an HTML body, in document order — every anchor element
+   * carrying an `href` attribute, whatever its other attributes, quoting or
+   * nesting; href-less anchors produce nothing (html.rs:97-120). Backed by
+   * the tolerant HTML5-style tokenizer (HtmlScan), the Spark-side analogue
+   * of the reference's DOM-parse + `select("a")` (html.rs:25-27,71-87);
+   * values arrive entity-decoded exactly as a DOM `attr("href")` would. */
+  def rawHrefs(html: String): Seq[String] = HtmlScan.parse(html).hrefs
 
   /** Full raw-HTML pipeline: UTF-8 decode → anchor scan → resolve → scheme filter. */
   def linksFromHtml(baseUrl: String, body: Array[Byte]): Seq[String] =
     UrlCanon.decodeUtf8(body).toSeq.flatMap(h =>
       rawHrefs(h).flatMap(resolveLink(baseUrl, _)))
 
-  // interleaved span scan: <p>text</p> | <img src=...> | <a href=...>text</a>
-  // in document order; href-less anchors produce no match (html.rs:97-120)
-  private val SpanTag = (
-    """(?is)<p>(.*?)</p>""" +
-    """|<img\b[^>]*?\bsrc\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))[^>]*>""" +
-    """|<a\b[^>]*?\bhref\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))[^>]*>(.*?)</a>""").r
-
   /** Parse an HTML body into the interleaved span model (input_hint shape):
-   * paragraphs → text spans, images → media spans, hrefed anchors → link
-   * spans (raw href in `media_ref`), offsets dense from 0 in document
-   * order — the inverse of the corpus serializer (CorpusGen.pageHtml), so an
-   * HTTP-fetched page archives the exact span sequence the durable corpus
-   * would store (per-row span-sequence invariant).
-   *
-   * CORPUS-SHAPE RESTRICTION: the scan matches the corpus serializer's
-   * markup — literal attribute-less `<p>`, unnested tags. Real-world pages
-   * (`<p class=…>`, nested markup) parse partially or empty with outcome
-   * still Ok. The archive path therefore records `spanCoverage` alongside
-   * the spans so silent truncation is DETECTABLE: corpus-shaped pages score
-   * ≳0.8 (only the html/body wrapper is unmatched), a real page whose
-   * content the scan missed scores near 0 — filter the archive on
-   * `parse_cov` to find them. */
-  def spansFromHtml(html: String): Seq[Span] = {
-    val out = Seq.newBuilder[Span]
-    var off = 0
-    SpanTag.findAllMatchIn(html).foreach { m =>
-      if (m.group(1) != null) {
-        out += Span(Span.Text, m.group(1), "", off); off += 1
-      } else if (m.group(2) != null) {
-        val src = Option(m.group(3)).orElse(Option(m.group(4))).getOrElse(m.group(5))
-        out += Span(Span.Media, "", src, off); off += 1
-      } else {
-        val href = Option(m.group(7)).orElse(Option(m.group(8))).getOrElse(m.group(9))
-        out += Span(Span.Link, m.group(10), href, off); off += 1
-      }
-    }
-    out.result()
-  }
+   * visible text → text spans (one per block-boundary flush, whitespace-
+   * normalized), `<img src=…>` → media spans, hrefed anchors → link spans
+   * (raw href in `media_ref`, anchor text in `text`), offsets dense from 0
+   * in document order. Tolerant of arbitrary real-world markup — see
+   * HtmlScan for the tokenizer and the exact span-model rules. On corpus-
+   * serializer pages (CorpusGen.pageHtml) the result is byte-equal to the
+   * durable corpus spans (per-row span-sequence invariant): the html/body
+   * wrapper flushes nothing and the serializer's href-less `<a name="top">`
+   * chrome is dropped by the reference's own skip rule. */
+  def spansFromHtml(html: String): Seq[Span] = HtmlScan.parse(html).spans
 
-  /** Fraction of the body's characters consumed by `spansFromHtml` matches —
-   * the parse-coverage signal of the corpus-shape restriction above. Cheap
-   * (one regex pass, same automaton as the parse) and monotone in what the
-   * parse actually captured: 0.0 means the scan saw nothing it recognises. */
-  def spanCoverage(html: String): Double =
-    if (html.isEmpty) 1.0
-    else SpanTag.findAllMatchIn(html).map(m => m.end - m.start).sum.toDouble /
-      html.length
+  /** Fraction of the body's VISIBLE text captured into spans — exact under
+   * the tolerant tokenizer, not a heuristic: markup, comments and raw-text
+   * elements (script/style/…) never count; the only deduction is rule-
+   * dropped visible text (href-less anchor content). ≈1.0 for any real
+   * page; low values flag pages that are mostly dead-anchor chrome. */
+  def spanCoverage(html: String): Double = HtmlScan.parse(html).coverage
+
+  /** One-pass fetch-partition product: (hrefs, spans, coverage) from a
+   * single scan of the body — the hot-path form (FrontierStep.Http fetch
+   * used to pay three passes for the same three answers). */
+  def parsePage(html: String): (Seq[String], Seq[Span], Double) = {
+    val r = HtmlScan.parse(html)
+    (r.hrefs, r.spans, r.coverage)
+  }
 }

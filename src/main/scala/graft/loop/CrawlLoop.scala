@@ -193,9 +193,19 @@ object CrawlLoop {
       (r: Runnable) => { val t = new Thread(r, "graft-gen-write"); t.setDaemon(true); t })
     implicit val writeEc: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(writePool)
-    def awaitAll(fs: Seq[scala.concurrent.Future[Unit]]): Unit =
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(fs), scala.concurrent.duration.Duration.Inf)
+    // Awaits COMPLETION of every write, then rethrows the first failure. A
+    // fail-fast Future.sequence would propagate one write's exception while
+    // sibling write jobs are still running; the error path's cleanup then
+    // destroys the generation's probe broadcast under them (shutdown() does
+    // not cancel in-flight jobs), masking the root cause with
+    // broadcast-destroyed errors from the survivors.
+    def awaitAll(fs: Seq[scala.concurrent.Future[Unit]]): Unit = {
+      val settled = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          fs.map(_.transform(t => scala.util.Success(t)))),
+        scala.concurrent.duration.Duration.Inf)
+      settled.collectFirst { case scala.util.Failure(e) => throw e }
+    }
 
     try {
 
@@ -217,8 +227,8 @@ object CrawlLoop {
           allSeen.filter(!matchHost(col("url")))
             .repartition(spark.sparkContext.defaultParallelism, col("url"))
             .observe(obsP, count(lit(1)).as("rows"))
-            .write.mode("overwrite").parquet(io.compactDir("seen", prevGen))
-          io.commitCompaction("seen", prevGen,
+            .write.mode("overwrite").parquet(io.mergeDir("seen", 0, prevGen))
+          io.commitMerge("seen", 0, prevGen,
             obsP.get.apply("rows").asInstanceOf[Long])
           // routed per-shard fingerprint deletion (cuckoo only — bloom keeps
           // stale bits by design); the delete-updated RDD stays one file
@@ -232,6 +242,10 @@ object CrawlLoop {
             rdd.unpersist(blocking = false)
             shards = Some(updated)
           }
+          // GC LAST: the sketch delete-scan above re-reads allSeen from the
+          // covered segment files — the purged rows leave disk here, after
+          // every reader of the old segments is done
+          io.gcCovered("seen")
         }
       }
 
@@ -429,36 +443,23 @@ object CrawlLoop {
       genSketchBc.foreach(_.destroy())
       genSketchBc = None
 
-      // ---- log-structured seen compaction: fold the delta log into one
-      // bucketed segment once it exceeds the threshold (crash-safe: data
-      // first, atomic marker second; readers switch only after the marker)
+      // ---- log-structured seen compaction: size-tiered INCREMENTAL merge —
+      // fold the loose deltas once their count passes the threshold, absorb
+      // an adjacent predecessor only while it is no larger than the fold
+      // (crash-safe: data first, atomic marker second; covered segments
+      // GC'd after the marker). One compaction's I/O ∝ recent discoveries,
+      // amortized O(N log N) over the crawl — never the old periodic
+      // O(total-seen) rewrite (the round-4 scale defect at 10^10 URLs).
       if (cfg.seenCompactEvery > 0) {
-        val segs = io.deltaDirs("seen", gen)
-        if (segs.size >= cfg.seenCompactEvery) stageMetrics.labelled(gen, "compaction") {
-          val obsC = Observation()
-          spark.read.parquet(segs: _*)
-            .repartition(spark.sparkContext.defaultParallelism, col("url"))
-            .observe(obsC, count(lit(1)).as("rows"))
-            .write.mode("overwrite").parquet(io.compactDir("seen", gen))
-          io.commitCompaction("seen", gen, obsC.get.apply("rows").asInstanceOf[Long])
-        }
+        compactTiered(spark, io, stageMetrics, gen, "seen", "url",
+          cfg.seenCompactEvery)
         // the robots cache is read EVERY generation (Http mode) and appends
         // a delta per generation that met new hosts — without compaction its
         // dir list grows with the crawl exactly like seen's would (each host
-        // appears in exactly one delta, so compaction is a plain rewrite)
-        if (isHttp && cfg.useRobots) {
-          val rsegs = io.deltaDirs("robots", gen)
-          if (rsegs.size >= cfg.seenCompactEvery)
-            stageMetrics.labelled(gen, "robots_compaction") {
-              val obsR = Observation()
-              spark.read.parquet(rsegs: _*)
-                .repartition(spark.sparkContext.defaultParallelism, col("host"))
-                .observe(obsR, count(lit(1)).as("rows"))
-                .write.mode("overwrite").parquet(io.compactDir("robots", gen))
-              io.commitCompaction("robots", gen,
-                obsR.get.apply("rows").asInstanceOf[Long])
-            }
-        }
+        // appears in exactly one segment, so merging is a plain union)
+        if (isHttp && cfg.useRobots)
+          compactTiered(spark, io, stageMetrics, gen, "robots", "host",
+            cfg.seenCompactEvery)
       }
 
       // ---- per-stage timing table (A2): one row per (action, spark stage)
@@ -480,6 +481,55 @@ object CrawlLoop {
       shards.foreach(_.unpersist(blocking = false))
       genSketchBc.foreach(_.destroy())
       spark.sparkContext.removeSparkListener(stageMetrics)
+    }
+  }
+
+  /** Size-tiered incremental compaction of an append-only table: fold the
+   * loose (uncovered) deltas up to `gen` into one merge segment when at
+   * least `k` have accumulated, absorbing the adjacent predecessor segment
+   * while it covers no more generations than the fold built so far — the
+   * classic LSM invariant, so segment count stays O(log gens) and total
+   * merge I/O over a crawl is O(N log N) rows, with the COMMON per-call cost
+   * proportional to the recent deltas only (the predecessor is absorbed
+   * only when it's comparably small). The absorb set is decided up front
+   * from the markers, so the fold is written ONCE — each input row is read
+   * and written exactly once per call. Covered segments are GC'd after the
+   * marker commits. */
+  private[graft] def compactTiered(spark: SparkSession, io: TableIO,
+      stageMetrics: StageMetrics, gen: Int, table: String, keyCol: String,
+      k: Int): Unit = {
+    val (merges, loose) = io.cover(table, gen)
+    if (loose.size < k) return
+    stageMetrics.labelled(gen, s"${table}_compaction") {
+      // fold range starts right after the newest merge (adjacency by GEN
+      // RANGE, not dir existence — a zero-discovery generation still counts)
+      var lo = merges.lastOption.map(_._2 + 1).getOrElse(0)
+      var span = gen - lo + 1
+      val absorbed = Seq.newBuilder[(Int, Int)]
+      var prevHi = lo - 1
+      var done = false
+      while (!done) {
+        merges.find(_._2 == prevHi) match {
+          case Some((plo, phi)) if (phi - plo + 1) <= span =>
+            absorbed += ((plo, phi)); span += phi - plo + 1
+            lo = plo; prevHi = plo - 1
+          case _ => done = true
+        }
+      }
+      val inputs = (absorbed.result().map(m => io.mergeDir(table, m._1, m._2)) ++
+        loose.map(io.genDir(table, _))).filter(io.dirExists)
+      val rows =
+        if (inputs.isEmpty) 0L
+        else {
+          val obsC = Observation()
+          spark.read.parquet(inputs: _*)
+            .repartition(spark.sparkContext.defaultParallelism, col(keyCol))
+            .observe(obsC, count(lit(1)).as("rows"))
+            .write.mode("overwrite").parquet(io.mergeDir(table, lo, gen))
+          obsC.get.apply("rows").asInstanceOf[Long]
+        }
+      io.commitMerge(table, lo, gen, rows)
+      io.gcCovered(table)
     }
   }
 

@@ -250,23 +250,21 @@ object FrontierStep {
                 else graft.core.UrlCanon.decodeUtf8(r.body) match {
                   case None => (Outcome.Err, Nil, Nil, 0.0) // undecodable page ⇒ Parsing error (errors.rs:122-140)
                   case Some(html) =>
+                    // ONE tokenizer pass yields hrefs + spans + coverage; the
+                    // archive span parse (S7) happens HERE, inside the fetch
+                    // partition — the raw body never leaves it
+                    // (archive/rmq.rs:29-43 analogue). parse_cov is exact
+                    // under the tolerant tokenizer (Extract.spanCoverage).
+                    val (hrefs, allSp, cv) = graft.core.Extract.parsePage(html)
                     val inPage = new java.util.HashSet[String]()
-                    val ls = graft.core.Extract.rawHrefs(html).iterator.flatMap { href =>
+                    val ls = hrefs.iterator.flatMap { href =>
                       graft.core.UrlCanon.resolveCanonHost(tk.url, href) match {
                         case Some((u, host)) if inPage.add(u) => Iterator.single((u, host))
                         case _ => Iterator.empty
                       }
                     }.toSeq
-                    // archive path (S7): the durable span parse happens HERE,
-                    // inside the fetch partition — the raw body still never
-                    // leaves it (archive/rmq.rs:29-43 analogue). parse_cov
-                    // makes the scan's corpus-shape restriction detectable
-                    // (Extract.spansFromHtml scaladoc).
-                    val sp = if (doArchive) graft.core.Extract.spansFromHtml(html)
-                             else Nil
-                    val cv = if (doArchive) graft.core.Extract.spanCoverage(html)
-                             else 0.0
-                    (Outcome.Ok, ls, sp, cv)
+                    val sp = if (doArchive) allSp else Nil
+                    (Outcome.Ok, ls, sp, if (doArchive) cv else 0.0)
                 }
               (tk.url, tk.host, tk.priority, tk.next_fetch, tk.retry_count, tk.gen,
                 outcome, links, spans, cov)

@@ -24,12 +24,22 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
  * commit dir with HDFS or swap in the Iceberg seam below.
  *
  * The `seen` table is APPEND-ONLY per-generation deltas — never rewritten
- * (at 10^10 URLs a rewrite per generation would be the scale killer); the
- * anti-join reads the union of deltas, each delta disjoint by construction
- * (discovered rows passed the anti-join against all prior deltas).
+ * in the hot loop (at 10^10 URLs a rewrite per generation would be the
+ * scale killer); the anti-join reads the union of segments, each disjoint
+ * by construction (discovered rows passed the anti-join against all prior
+ * segments). Maintenance is size-tiered incremental merging (see the
+ * compaction section below), never a periodic full rewrite.
  *
  * Swap-in for a real cluster: Iceberg `MERGE INTO seen` + snapshot commit —
  * same seam, one class.
+ *
+ * SINGLE WRITER REQUIRED: one TableIO instance must be the only writer of
+ * its workDir for its lifetime (the commit fence is a manifest-rename, not a
+ * lock — two concurrent writers would both think they own the fence). The
+ * `_commits` listing is cached under that assumption; if an external process
+ * legitimately mutated the directory (e.g. manual GC between runs), call
+ * `refreshCommits()` — and `readManifest` self-heals a stale cache by
+ * re-listing once when a cached manifest turns out to be missing.
  */
 final class TableIO(val root: String,
     conf: Configuration = TableIO.defaultConf()) {
@@ -124,44 +134,104 @@ final class TableIO(val root: String,
 
   def lastCommittedGen(): Option[Int] = committedGens().lastOption
 
-  def readManifest(gen: Int): String =
+  /** Drop the cached `_commits` listing (next read re-lists). Only needed
+   * after an EXTERNAL mutation of the workDir between runs — see the
+   * single-writer note in the class doc. */
+  def refreshCommits(): Unit = { commitNamesCache = None }
+
+  def readManifest(gen: Int): String = {
+    // self-heal a stale cache: a cached manifest that no longer exists means
+    // something else mutated _commits (single-writer assumption violated or
+    // manual cleanup) — re-list once so committedGens() stops advertising it
+    if (!fs.exists(manifest(gen))) refreshCommits()
     new String(readBytes(manifest(gen).toString), UTF_8)
+  }
 
   // --- compaction (log-structured maintenance of append-only tables) --------
-  def compactDir(table: String, upToGen: Int): String =
-    p(table, f"compact_upto=$upToGen%05d").toString
+  // Tiered MERGE SEGMENTS, not a periodic full rewrite: a merge covers a
+  // contiguous generation range [lo, hi] and replaces those segments for
+  // readers; the loop's size-tiered policy (CrawlLoop.compactTiered) folds
+  // recent deltas and absorbs an adjacent predecessor only while it is no
+  // larger than what was just folded — so one compaction's I/O is
+  // proportional to the RECENTLY-DISCOVERED rows (amortized O(N log N) over
+  // a crawl), never a periodic O(total-seen) job (at 10^10 URLs the old
+  // full rewrite was the scale killer). Crash-safe like commits: data
+  // first, atomic marker second; covered segments are then GC'd
+  // (`gcCovered`) so storage tracks the live set instead of growing
+  // monotonically. A crash between marker and GC leaves covered leftovers
+  // that readers ignore (outermost-cover selection) and the next sweep
+  // deletes.
 
-  private def compactMarker(table: String, gen: Int): Path =
-    p("_commits", f"compact_${table}_$gen%05d.json")
+  def mergeDir(table: String, lo: Int, hi: Int): String =
+    p(table, f"merge_$lo%05d-$hi%05d").toString
 
-  /** Publish a compaction of `table` covering all deltas ≤ upToGen. The
-   * marker is written atomically AFTER the compacted data; a crashed
-   * half-written compaction is invisible. Old deltas are retained (readers
-   * ignore them once covered; GC is a separate concern). */
-  def commitCompaction(table: String, upToGen: Int, rows: Long): Unit = {
-    publishJson(p("_commits", f"_tmp_compact_${table}_$upToGen%05d.json"),
-      compactMarker(table, upToGen),
-      s"""{"table":"$table","upto_gen":$upToGen,"rows":$rows}""")
-    val name = f"compact_${table}_$upToGen%05d.json"
+  private def mergeMarker(table: String, lo: Int, hi: Int): Path =
+    p("_commits", f"merge_${table}_$lo%05d_$hi%05d.json")
+
+  /** Atomically publish a merge of `table` covering delta gens [lo, hi]
+   * (the merged data must already be fully written to `mergeDir`). */
+  def commitMerge(table: String, lo: Int, hi: Int, rows: Long): Unit = {
+    publishJson(p("_commits", f"_tmp_merge_${table}_$lo%05d_$hi%05d.json"),
+      mergeMarker(table, lo, hi),
+      s"""{"table":"$table","lo_gen":$lo,"hi_gen":$hi,"rows":$rows}""")
+    val name = f"merge_${table}_$lo%05d_$hi%05d.json"
     commitNamesCache = commitNamesCache.map(v => if (v.contains(name)) v else v :+ name)
   }
 
-  /** Latest committed compaction of `table` at or below `upToGen`. */
-  def lastCompaction(table: String, upToGen: Int): Option[Int] =
+  /** All committed merge segments of `table`, outermost-first within a lo
+   * (sorted by lo asc, span desc). */
+  def committedMerges(table: String): Seq[(Int, Int)] =
     commitNames()
-      .collect { case s if s.startsWith(s"compact_${table}_") && s.endsWith(".json") =>
-        s.stripPrefix(s"compact_${table}_").stripSuffix(".json").toInt }
-      .filter(_ <= upToGen).maxOption
+      .collect { case s if s.startsWith(s"merge_${table}_") && s.endsWith(".json") =>
+        val parts = s.stripPrefix(s"merge_${table}_").stripSuffix(".json").split('_')
+        (parts(0).toInt, parts(1).toInt)
+      }
+      .sortBy(m => (m._1, -m._2))
+
+  /** The reader's view of `table` at `upToGen`: the outermost non-overlapping
+   * merge segments (contained ones are pre-GC leftovers) plus the committed
+   * delta gens no merge covers. Merges never partially overlap by
+   * construction (a merge always absorbs whole adjacent segments). */
+  def cover(table: String, upToGen: Int): (Seq[(Int, Int)], Seq[Int]) = {
+    var maxHi = -1
+    val outer = committedMerges(table).filter(_._2 <= upToGen).flatMap {
+      case (lo, hi) =>
+        if (hi <= maxHi) None // contained in an already-selected segment
+        else { maxHi = hi; Some((lo, hi)) }
+    }
+    val loose = committedGens().filter(g =>
+      g <= upToGen && !outer.exists(m => g >= m._1 && g <= m._2))
+    (outer, loose)
+  }
 
   /** All committed data dirs of an append-only table (e.g. `seen`): the
-   * newest covering compaction (if any) plus the deltas after it. */
+   * outermost merge segments plus the deltas they don't cover. */
   def deltaDirs(table: String, upToGen: Int): Seq[String] = {
-    val compacted = lastCompaction(table, upToGen)
-    val base = compacted.map(c => compactDir(table, c)).toSeq
-    val floor = compacted.getOrElse(-1)
-    (base ++ committedGens().filter(g => g > floor && g <= upToGen)
-      .map(genDir(table, _)))
+    val (merges, loose) = cover(table, upToGen)
+    (merges.map(m => mergeDir(table, m._1, m._2)) ++ loose.map(genDir(table, _)))
       .filter(d => fs.isDirectory(new Path(d)))
+  }
+
+  /** Delete data (and, for merges, markers) of every segment covered by the
+   * current outermost merge cover — the storage GC the merge design needs to
+   * keep disk ∝ live rows. Safe any time after the covering merge's marker
+   * committed: readers already ignore covered segments. Covered DELTA dirs
+   * lose only their data directory (their generation manifest stays — it
+   * fences frontier/archive/metrics too); covered merge segments lose data
+   * and marker. */
+  def gcCovered(table: String): Unit = {
+    val (outer, _) = cover(table, Int.MaxValue)
+    committedMerges(table).filterNot(outer.contains).foreach { case (lo, hi) =>
+      fs.delete(new Path(mergeDir(table, lo, hi)), true)
+      fs.delete(mergeMarker(table, lo, hi), false)
+      val name = f"merge_${table}_$lo%05d_$hi%05d.json"
+      commitNamesCache = commitNamesCache.map(_.filterNot(_ == name))
+    }
+    committedGens()
+      .filter(g => outer.exists(m => g >= m._1 && g <= m._2))
+      .map(g => new Path(genDir(table, g)))
+      .filter(fs.isDirectory)
+      .foreach(fs.delete(_, true))
   }
 
   // --- per-shard sketch persistence (the sketch's reliable checkpoint) ------

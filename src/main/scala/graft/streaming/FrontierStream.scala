@@ -51,18 +51,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object FrontierStream {
 
   /** O1 as keyed stream state: each host carries a fetch budget of `k`;
-   * within a micro-batch the host's tasks compete by the SAME deterministic
-   * queue key as the batch engine — (priority, next_fetch, url) — and
-   * winners draw down the budget. Exactly the batch politeness selection
-   * when the generation arrives as one batch; across batches the budget
-   * makes the cap hold over the whole stream window.
+   * within a micro-batch the host's ELIGIBLE tasks compete by the SAME
+   * deterministic queue key as the batch engine — (priority, next_fetch,
+   * url) — and winners draw down the budget. Exactly the batch politeness
+   * selection of the eligible set when the generation arrives as one batch;
+   * across batches the budget makes the cap hold over the whole stream
+   * window.
+   *
+   * Eligibility: the batch engine (Politeness.markEligibleTopK) defers tasks
+   * whose `next_fetch` window hasn't arrived (`next_fetch > gen` — crawl
+   * delays, requeued rejects). The same rule applies here against the `gen`
+   * this stream window represents: ineligible rows never enter the budget
+   * take (they must NOT be fetched early). They are also not emitted —
+   * politeStream's output is the selected set only — so the exchange that
+   * feeds this stream must re-deliver them when their window opens (the BSP
+   * loop's frontier table does exactly that; a pure-streaming deployment
+   * with crawl delays should drain deferred tasks through the batch engine).
    *
    * Skew note: a keyed stateful op puts one host's batch rows in one task
    * (no salting seam exists inside flatMapGroupsWithState) — the sort is
    * O(rows-per-host-per-batch). Fine at stream rates; a Zipf-head backlog
    * should be drained through the BATCH engine, whose salted two-stage
-   * top-k breaks exactly that hot spot. */
-  def politeStream(spark: SparkSession, tasks: DataFrame, k: Int): Dataset[Task] = {
+   * top-k breaks exactly that hot spot.
+   *
+   * State size: one Int per host ever selected from — bounded by the host
+   * universe, orders of magnitude below URL counts; safe on any provider. */
+  def politeStream(spark: SparkSession, tasks: DataFrame, k: Int,
+      gen: Long = 0L): Dataset[Task] = {
     import spark.implicits._
     val select = (host: String, it: Iterator[Task], state: GroupState[Int]) => {
       val used = state.getOption.getOrElse(0)
@@ -73,7 +88,9 @@ object FrontierStream {
       if (winners.nonEmpty) state.update(used + winners.size)
       winners.iterator
     }
-    tasks.as[Task].groupByKey(_.host)
+    tasks.as[Task]
+      .filter(t => t.next_fetch <= gen) // delay windows: defer, never fetch early
+      .groupByKey(_.host)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(select)
   }
 
@@ -105,12 +122,15 @@ object FrontierStream {
   /** The PRODUCTION form of the streaming fetch stage: real sockets via
    * HttpFetcher (one pooled client per partition), HTML anchor extraction,
    * fused resolve+canonicalize, within-page dedup — the same mapPartitions
-   * body as the batch engine's FetchMode.Http, minus archive. `rewrite`
-   * maps a task URL to the URL actually fetched (identity in production;
-   * tests map corpus hosts to a loopback server). Non-Ok fetches emit no
-   * candidates (outcome routing lives in the batch loop; a streaming
-   * deployment would tee outcomes from the same pass). */
-  def fetchExtractStreamHttp(spark: SparkSession, tasks: Dataset[Task],
+   * body as the batch engine's FetchMode.Http, minus archive. Every task
+   * emits ONE outcome row (`row_kind = 'outcome'`: ok/err/reject +
+   * error_kind, the reference's TaskProcessResult routing) plus its
+   * candidate rows (`row_kind = 'candidate'`) when the fetch succeeded —
+   * non-Ok fetches are TEED, not dropped. One pass, one fetch per task;
+   * split the two kinds in `foreachBatch` (or two filtered sinks over a
+   * persisted exchange) to route candidates onward and outcomes to metrics/
+   * requeue. */
+  def fetchExtractStreamHttpFull(spark: SparkSession, tasks: Dataset[Task],
       rewrite: String => String, connectTimeoutMs: Int = 5000,
       requestTimeoutMs: Int = 20000): DataFrame = {
     import spark.implicits._
@@ -119,21 +139,37 @@ object FrontierStream {
       lazy val client = graft.sources.HttpFetcher.newClient(connectTimeoutMs)
       it.flatMap { tk =>
         val r = graft.sources.HttpFetcher.fetchOne(client, rw(tk.url), requestTimeoutMs)
-        if (r.outcome != graft.model.Outcome.Ok) Iterator.empty
-        else graft.core.UrlCanon.decodeUtf8(r.body) match {
-          case None => Iterator.empty
-          case Some(html) =>
-            val inPage = new java.util.HashSet[String]()
-            graft.core.Extract.rawHrefs(html).iterator.flatMap { href =>
-              graft.core.UrlCanon.resolveCanonHost(tk.url, href) match {
-                case Some((u, host)) if inPage.add(u) => Iterator.single((u, host))
-                case _ => Iterator.empty
+        val outcome = Iterator.single(
+          ("outcome", tk.url, tk.host, r.outcome, r.error_kind))
+        val candidates =
+          if (r.outcome != graft.model.Outcome.Ok) Iterator.empty
+          else graft.core.UrlCanon.decodeUtf8(r.body) match {
+            case None => Iterator.empty
+            case Some(html) =>
+              val inPage = new java.util.HashSet[String]()
+              graft.core.Extract.rawHrefs(html).iterator.flatMap { href =>
+                graft.core.UrlCanon.resolveCanonHost(tk.url, href) match {
+                  case Some((u, host)) if inPage.add(u) =>
+                    Iterator.single(("candidate", u, host, "", ""))
+                  case _ => Iterator.empty
+                }
               }
-            }
-        }
+          }
+        outcome ++ candidates
       }
-    }.toDF("url", "host")
+    }.toDF("row_kind", "url", "host", "outcome", "error_kind")
   }
+
+  /** Candidates-only view of the production fetch stage (same single-fetch
+   * pass; the outcome rows are filtered, not skipped — use the Full form
+   * when the deployment needs them). */
+  def fetchExtractStreamHttp(spark: SparkSession, tasks: Dataset[Task],
+      rewrite: String => String, connectTimeoutMs: Int = 5000,
+      requestTimeoutMs: Int = 20000): DataFrame =
+    fetchExtractStreamHttpFull(spark, tasks, rewrite, connectTimeoutMs,
+        requestTimeoutMs)
+      .filter(col("row_kind") === "candidate")
+      .select("url", "host")
 
   /** F2/F3 + robots + J1/J2 on a candidate stream: host filter, robots
    * rules (corpus ground truth, broadcast), stream-static LEFT ANTI join
@@ -182,16 +218,55 @@ object FrontierStream {
       .select(col("window.start").as("win_start"), col("outcome"), col("n"))
 
   /** Stateful exactly-once URL emission: keyed state per canonical URL —
-   * first arrival emits, later arrivals are swallowed (streaming J1/J2). */
-  def dedupStream(spark: SparkSession, links: DataFrame): DataFrame = {
+   * first arrival emits, later arrivals are swallowed (streaming J1/J2).
+   *
+   * State-size story (the production config): URL-seen state grows with
+   * every distinct URL the stream meets — unbounded over a crawl's lifetime.
+   * Two knobs make it deployable:
+   *
+   *  1. **Provider**: run with the RocksDB state store
+   *     (`spark.sql.streaming.stateStore.providerClass =
+   *     ...state.RocksDBStateStoreProvider`) so state lives on executor
+   *     disk + block cache instead of JVM heap; the default in-memory
+   *     (HDFS-backed) provider keeps every key on-heap and caps out at
+   *     millions of URLs per executor. StreamingSpec runs its parity suite
+   *     under RocksDB.
+   *  2. **TTL**: `stateTtlMs` evicts a URL's state after that long without
+   *     a sighting (ProcessingTimeTimeout; re-arrival refreshes the clock).
+   *     Eviction trades memory for possible RE-emission of a URL seen
+   *     longer than ttl ago — safe in this topology because emitted URLs
+   *     land in the durable seen table, and the NEXT window's
+   *     `discoverStream` anti-joins candidates against that committed table
+   *     before this operator ever sees them: a re-emission is one duplicate
+   *     exchange row within a window, never a duplicate fetch. Size ttl to
+   *     the window between seen-table commits. None = exact dedup with
+   *     monotone state (fine for bounded replays/tests). */
+  def dedupStream(spark: SparkSession, links: DataFrame,
+      stateTtlMs: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    val emit = (url: String, _: Iterator[String], state: GroupState[Boolean]) => {
-      if (state.exists) Iterator.empty
-      else { state.update(true); Iterator.single(url) }
+    val urls = links.select("url").as[String].groupByKey(identity)
+    val out = stateTtlMs match {
+      case None =>
+        val emit = (url: String, _: Iterator[String], state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(url) }
+        }
+        urls.flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout)(emit)
+      case Some(ttl) =>
+        val emit = (url: String, _: Iterator[String], state: GroupState[Boolean]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            state.setTimeoutDuration(ttl) // refresh: ttl counts from last sighting
+            Iterator.empty
+          } else {
+            state.update(true); state.setTimeoutDuration(ttl)
+            Iterator.single(url)
+          }
+        }
+        urls.flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(emit)
     }
-    links.select("url").as[String]
-      .groupByKey(identity)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(emit)
-      .toDF("url")
+    out.toDF("url")
   }
 }

@@ -118,17 +118,21 @@ class FilterExtractSpec extends AnyFunSuite {
     assert(Robots.allowed(Nil, "http://h1.example/x7"))
   }
 
-  test("spanCoverage: corpus-shaped pages score high, alien markup detectably low") {
+  test("spanCoverage: corpus pages score high; real-world markup parses fully (r4 tokenizer)") {
     val cfg = graft.corpus.CorpusConfig(seed = 42L, numHosts = 8, maxPages = 16)
     val html = graft.corpus.CorpusGen.pageHtml(cfg, 1, 0)
     assert(Extract.spansFromHtml(html).nonEmpty)
-    assert(Extract.spanCoverage(html) > 0.8, // only the html/body wrapper unmatched
+    // exact coverage: the only deduction is the serializer's 14-char
+    // href-less `no-href anchor` chrome (rule-dropped, html.rs:97-120)
+    assert(Extract.spanCoverage(html) > 0.8,
       s"corpus page coverage ${Extract.spanCoverage(html)}")
-    // the documented corpus-shape restriction: real-world attributes/nesting
-    // escape the scan — and parse_cov makes that silent truncation visible
-    val alien = """<html><body><p class="lead">real paragraph</p><div>text</div></body></html>"""
-    assert(Extract.spansFromHtml(alien).isEmpty)
-    assert(Extract.spanCoverage(alien) < 0.1,
-      s"alien markup scored ${Extract.spanCoverage(alien)} — truncation undetectable")
+    // real-world attributes/nesting now PARSE instead of silently truncating
+    // (the round-4 corpus-shape restriction is gone — HtmlScan)
+    val real = """<html><body><p class="lead">real paragraph</p><div>text</div></body></html>"""
+    assert(Extract.spansFromHtml(real) == Seq(
+      graft.model.Span(graft.model.Span.Text, "real paragraph", "", 0),
+      graft.model.Span(graft.model.Span.Text, "text", "", 1)))
+    assert(Extract.spanCoverage(real) == 1.0,
+      s"fully-parsed page scored ${Extract.spanCoverage(real)}")
   }
 }

@@ -384,8 +384,7 @@ class GoldenCrawlSpec extends AnyFunSuite {
       val (engineGen, engineOutcomes, oracle) = runBoth(cfg, seeds, maxGens = 12)
       assert(engineGen == oracle.seenGen)
       assert(engineOutcomes == oracle.outcomes.toSet)
-      val last = lastIo.lastCommittedGen().get
-      assert(lastIo.lastCompaction("robots", last).nonEmpty,
+      assert(lastIo.committedMerges("robots").nonEmpty,
         "robots delta log never compacted")
       import scala.jdk.CollectionConverters._
       val over = robotsGets.asScala.filter(_._2 > 1)
@@ -541,8 +540,7 @@ class GoldenCrawlSpec extends AnyFunSuite {
     val io = new TableIO(dir)
     CrawlLoop.run(spark, io, seeds, cfg, maxGens = 6) // interrupted mid-crawl
     CrawlLoop.run(spark, io, seeds, cfg, maxGens = 18) // resume over compacted log
-    assert(io.lastCompaction("seen", io.lastCommittedGen().get).nonEmpty,
-      "compaction never triggered")
+    assert(io.committedMerges("seen").nonEmpty, "compaction never triggered")
     val engineGen = CrawlLoop.seenWithGen(spark, io).collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     val oracle = SeqCrawler.crawl(cfg, seeds, maxGens = 18)
@@ -661,7 +659,7 @@ class GoldenCrawlSpec extends AnyFunSuite {
     CrawlLoop.run(spark, new TableIO(uriDir), seeds, cfg, maxGens = 4) // "crash"
     CrawlLoop.run(spark, new TableIO(uriDir), seeds, cfg, maxGens = 16) // resume via FS listing
     val io = new TableIO(uriDir)
-    assert(io.lastCompaction("seen", io.lastCommittedGen().get).nonEmpty,
+    assert(io.committedMerges("seen").nonEmpty,
       "compaction never committed over the URI workDir")
     val engineGen = CrawlLoop.seenWithGen(spark, io).collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap

@@ -8,9 +8,18 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
 /** Structured Streaming smoke: file-source documents stream through the
- * same P1-P6 operators, with stateful dedup and watermarked metrics. */
+ * same P1-P6 operators, with stateful dedup and watermarked metrics.
+ * The WHOLE suite runs under the RocksDB state store provider — the
+ * production config for unbounded URL-seen state (FrontierStream.dedupStream
+ * scaladoc) — so every parity assertion here is also a RocksDB-parity
+ * assertion. */
 class StreamingSpec extends AnyFunSuite {
-  private lazy val spark = SparkSuite.spark
+  private lazy val spark = {
+    val s = SparkSuite.spark
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s
+  }
 
   private def stage(cfg: CorpusConfig): (String, Long) = {
     val dir = Files.createTempDirectory("graft-stream").toString
@@ -19,7 +28,7 @@ class StreamingSpec extends AnyFunSuite {
     (dir, docs.count())
   }
 
-  test("linkStream + dedupStream: streaming output = batch distinct links") {
+  test("linkStream + dedupStream: streaming output = batch distinct links (RocksDB state)") {
     val cfg = CorpusConfig(seed = 42L, numHosts = 8, maxPages = 16)
     val (dir, _) = stage(cfg)
     val schema = spark.read.parquet(dir).schema
@@ -27,9 +36,10 @@ class StreamingSpec extends AnyFunSuite {
 
     val links = FrontierStream.linkStream(stream)
     val deduped = FrontierStream.dedupStream(spark, links)
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
     val q = deduped.writeStream.outputMode("append")
       .format("memory").queryName("stream_links")
-      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
 
@@ -38,6 +48,79 @@ class StreamingSpec extends AnyFunSuite {
       .select("url").distinct().collect().map(_.getString(0)).toSet
     assert(got == want)
     assert(got.nonEmpty)
+    // the RocksDB provider actually engaged: its checkpoints are uploaded as
+    // zip/changelog artifacts, unlike the default provider's .delta files
+    val names = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt, "state"))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(walk.iterator())
+        .asScala.map(_.getFileName.toString).toVector
+      finally walk.close()
+    }
+    assert(names.exists(n => n.endsWith(".zip") || n.endsWith(".changelog")),
+      s"no RocksDB state artifacts under $ckpt/state: ${names.take(10)}")
+    assert(!names.exists(_.endsWith(".delta")),
+      "default HDFS-backed state files present — RocksDB provider did not engage")
+  }
+
+  test("dedupStream with a state TTL: same output, ProcessingTimeTimeout path") {
+    // ttl >> test duration ⇒ no eviction can fire, so output must equal the
+    // exact-dedup path — this pins the timeout-variant state machine
+    // (register timeout on first sight, refresh on re-arrival) end-to-end
+    // under RocksDB; eviction semantics are documented in the scaladoc
+    val cfg = CorpusConfig(seed = 42L, numHosts = 8, maxPages = 16)
+    val (dir, _) = stage(cfg)
+    val schema = spark.read.parquet(dir).schema
+    val links = FrontierStream.linkStream(spark.readStream.schema(schema).parquet(dir))
+    val want = FrontierStream.linkStream(spark.read.parquet(dir))
+      .select("url").distinct().collect().map(_.getString(0)).toSet
+    val q = FrontierStream.dedupStream(spark, links, stateTtlMs = Some(3600L * 1000))
+      .writeStream.outputMode("append").format("memory").queryName("stream_links_ttl")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-ttl").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    // a query with registered ProcessingTime timeouts MAY schedule batches
+    // beyond the data (to fire them) or terminate on its own — and
+    // processAllAvailable can park forever on an already-terminated query
+    // (no new-data signal ever arrives). Poll the SINK to completion, then
+    // stop explicitly (production would run continuous anyway).
+    val deadline = System.currentTimeMillis() + 120000
+    while (System.currentTimeMillis() < deadline && q.isActive &&
+        spark.table("stream_links_ttl").count() < want.size) Thread.sleep(200)
+    q.stop()
+    q.awaitTermination(120000)
+    val got = spark.table("stream_links_ttl").collect().map(_.getString(0)).toSet
+    assert(got == want)
+  }
+
+  test("politeStream defers next_fetch > gen (batch eligibility parity)") {
+    // delayed/requeued tasks must NOT be fetched early: rows with an unopened
+    // next_fetch window are excluded from the budget take, exactly the batch
+    // engine's eligibility split (Politeness.markEligibleTopK)
+    val s = spark
+    import s.implicits._
+    val gen = 3L
+    val rows = (for {
+      h <- 1 to 6; i <- 1 to 8
+    } yield (s"http://h$h.example/p$i", s"h$h.example", i % 4,
+        if ((h + i) % 3 == 0) gen + 2 else 0L, 0, gen.toInt))
+      .toDF("url", "host", "priority", "next_fetch", "retry_count", "gen")
+    val fDir = Files.createTempDirectory("graft-elig").toString
+    rows.coalesce(1).write.mode("overwrite").parquet(fDir)
+    val schema = spark.read.parquet(fDir).schema
+    val q = FrontierStream.politeStream(spark,
+        spark.readStream.schema(schema).parquet(fDir), k = 2, gen = gen)
+      .writeStream.outputMode("append").format("memory").queryName("stream_elig")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ck-el").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("stream_elig").collect().map(_.getString(0)).toSet
+    val want = graft.operators.Politeness
+      .markEligibleTopK(rows, k = 2, saltBuckets = 4, gen, None)
+      .filter(col("selected")).collect().map(_.getString(0)).toSet
+    assert(got == want,
+      s"stream-only=${(got -- want).take(3)} batch-only=${(want -- got).take(3)}")
+    assert(rows.filter(col("next_fetch") > gen).collect()
+      .map(_.getString(0)).toSet.intersect(got).isEmpty,
+      "a delay-deferred task was fetched early")
   }
 
   test("streaming crawl generation ≡ batch generation (politeness, fetch, discover parity)") {
@@ -179,6 +262,63 @@ class StreamingSpec extends AnyFunSuite {
       assert(http.nonEmpty)
       assert(http == corp,
         s"http-only=${(http -- corp).take(3)} corpus-only=${(corp -- http).take(3)}")
+    } finally server.stop(0)
+  }
+
+  test("streaming HTTP fetch TEES non-Ok outcomes (one outcome row per task)") {
+    // the Full form must not drop failed fetches: every task emits exactly
+    // one outcome row from the same single-fetch pass that emits candidates;
+    // a 404 page arrives as err/InvalidPage with zero candidate rows
+    val s = spark
+    import s.implicits._
+    import graft.corpus.CorpusGen
+    val corpus = CorpusConfig(seed = 42L, numHosts = 4, maxPages = 8)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val raw = ex.getRequestURI.getRawPath.stripPrefix("/")
+      val (status, body) = CorpusGen.resolvePage(corpus, s"http://$raw") match {
+        case CorpusGen.PageLookup.Found(h, p) => (200, CorpusGen.pageHtml(corpus, h, p))
+        case _ => (404, "gone")
+      }
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2))
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val rewrite: String => String = { url =>
+        val host = graft.core.UrlCanon.hostOf(url)
+        s"http://127.0.0.1:$port/$host" + graft.core.Robots.pathOf(url)
+      }
+      val good = CorpusGen.seeds(corpus, 2)
+      val bad = Seq("http://no-such-host.example/missing")
+      val fDir = Files.createTempDirectory("graft-tee").toString
+      graft.operators.FrontierStep.seedFrontier(spark, good ++ bad)
+        .coalesce(1).write.mode("overwrite").parquet(fDir)
+      val schema = spark.read.parquet(fDir).schema
+      val tasks = spark.readStream.schema(schema).parquet(fDir)
+        .as[graft.model.Task]
+      val q = FrontierStream.fetchExtractStreamHttpFull(spark, tasks, rewrite)
+        .writeStream.outputMode("append").format("memory").queryName("stream_tee")
+        .option("checkpointLocation", Files.createTempDirectory("graft-ck-tee").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val rows = spark.table("stream_tee").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(3), r.getString(4)))
+      val outcomes = rows.filter(_._1 == "outcome")
+      assert(outcomes.length == good.size + bad.size,
+        s"expected one outcome row per task, got ${outcomes.length}")
+      val byUrl = outcomes.map(o => o._2 -> ((o._3, o._4))).toMap
+      good.foreach(u => assert(byUrl(u) == (("ok", "")), s"$u → ${byUrl(u)}"))
+      bad.foreach(u => assert(byUrl(u) == (("err", "InvalidPage")), s"$u → ${byUrl(u)}"))
+      val cands = rows.filter(_._1 == "candidate")
+      assert(cands.nonEmpty, "good pages should still emit candidates")
+      assert(!cands.exists(c => bad.exists(b => c._2.contains("no-such-host"))),
+        "a failed fetch emitted candidates")
     } finally server.stop(0)
   }
 
