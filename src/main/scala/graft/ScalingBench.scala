@@ -73,13 +73,22 @@ object ScalingBench {
       // young gen stays small. Capping the young gen at heap/6 bounds the
       // per-pause copy volume: task-attributed GC fell ~5× (50-60 s → 12-14 s
       // per steady-state generation at 4×2-core executors, interleaved A/B).
+      //
+      // Third lesson (round 5, the §2f input ladder): the bound must be
+      // ABSOLUTE per GC thread, not a heap fraction. Sizing executors to a
+      // 4× input (12 g) scaled heap/6 to a 2 g young gen and the pathology
+      // returned verbatim (130–187 attributed GC s/gen at 4×2 — per-pause
+      // copy volume doubled for the same 2 copy threads); -Xmn 512 m per GC
+      // thread restored it (61 s, throughput 53–62k → 80k). G1 was probed
+      // and rejected: pauses fell to 25 s but its write barriers + concurrent
+      // threads cost 20% more task-seconds inside a pinned 2-core slice.
       val execMem = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "6g")
       val heapMb = execMem.toLowerCase match {
         case g if g.endsWith("g") => g.dropRight(1).toInt * 1024
         case m if m.endsWith("m") => m.dropRight(1).toInt
         case other                => other.toInt
       }
-      val youngMb = math.max(512, heapMb / 6)
+      val youngMb = math.max(512, math.min(heapMb / 6, 512 * coresPerExec))
       builder.config("spark.executor.extraJavaOptions",
         s"$AddOpens " + sys.env.getOrElse("SPARK_GRAFT_EXEC_GC",
           s"-XX:+UseParallelGC -XX:ActiveProcessorCount=$coresPerExec" +
