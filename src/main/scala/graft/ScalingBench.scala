@@ -200,11 +200,36 @@ object ScalingBench {
     spark.sparkContext.addSparkListener(sm)
 
     val t0 = System.nanoTime()
+    val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
+    def tr(what: String): Unit =
+      if (trace) System.err.println(f"TRACE ${(System.nanoTime() - t0) / 1e9}%.2f $what")
     val (fetched, discovered) = sm.labelled(0, "steady_state") {
       val step = FrontierStep.step(spark, megaFrontier, seedSeen, None, ssDocs, ssCfg, 0)
-      (step.outcomes.count(), step.discovered.count())
+      tr("step constructed")
+      val o = step.outcomes.count()
+      tr("outcomes counted")
+      val d = step.discovered.count()
+      tr("discovered counted")
+      (o, d)
     }
     val sec = (System.nanoTime() - t0) / 1e9
+    // wall occupancy: how much of the wall had ≥1 stage running vs
+    // scheduler/driver gaps between stages (the non-task share of the
+    // §2d/§2f utilization term — tails INSIDE stages are the rest)
+    val spans = sm.stageSpans(0)
+    val wallEndMs = System.currentTimeMillis()
+    val wallStartMs = wallEndMs - (sec * 1000).toLong
+    val spansJson = spans.map { case (sid, s, e) =>
+      s"[$sid,${s - wallStartMs},${e - wallStartMs}]"
+    }.mkString("[", ",", "]")
+    val coveredMs = {
+      var covered = 0L; var hi = Long.MinValue
+      spans.foreach { case (_, s, e) =>
+        if (s > hi) { covered += e - s; hi = e }
+        else if (e > hi) { covered += e - hi; hi = e }
+      }
+      covered
+    }
     val stages = sm.drain(0).map { r => // drain settles the listener bus itself
       val mean = if (r.tasks == 0) 0L else r.task_time_ms / r.tasks
       s"""{"stage":${r.stage_id},"tasks":${r.tasks},"task_time_ms":${r.task_time_ms},""" +
@@ -217,6 +242,9 @@ object ScalingBench {
       s""""fetched":$fetched,"discovered":$discovered,"wall_sec":$sec,""" +
       s""""urls_fetched_per_sec":${fetched / sec},""" +
       s""""frontier_dedup_per_sec":${discovered / sec},""" +
+      s""""stage_covered_sec":${coveredMs / 1e3},""" +
+      s""""sched_gap_sec":${math.max(0.0, sec - coveredMs / 1e3)},""" +
+      s""""stage_spans_ms":$spansJson,""" +
       s""""stages":$stages}""")
     spark.stop()
   }

@@ -77,6 +77,30 @@ object CorpusGen {
   def robotsTable(cfg: CorpusConfig): Seq[(String, String)] =
     (0 until cfg.numHosts).flatMap(h => robotsDisallows(cfg, h).map(d => hostName(h) -> d))
 
+  /** Disallow rules of a host NAME — the per-row (executor-side) form of
+   * robotsTable ∘ groupBy: rules are a pure function of (cfg, host index),
+   * so deriving them where the row already is beats materialising and
+   * broadcasting a numHosts-sized driver map (12 s of serial driver time
+   * per generation at 4.8M hosts, jstack-measured — BENCH.md §2f).
+   * Non-corpus host names get Nil, exactly like the map's getOrElse. */
+  def robotsForHostName(cfg: CorpusConfig, host: String): Seq[String] = {
+    if (host == null || host.length < 10 ||
+        host.charAt(0) != 'h' || !host.endsWith(".example")) Nil
+    else {
+      val mid = host.substring(1, host.length - 8)
+      var i = 0
+      var ok = mid.nonEmpty && mid.length <= 9 // numHosts < 10^9 ⇒ no overflow
+      while (ok && i < mid.length) {
+        val c = mid.charAt(i); if (c < '0' || c > '9') ok = false; i += 1
+      }
+      if (!ok) Nil
+      else {
+        val h = mid.toInt
+        if (h < cfg.numHosts) robotsDisallows(cfg, h) else Nil
+      }
+    }
+  }
+
   /** Robots `Crawl-delay` of host h in POLITENESS WINDOWS (one BSP generation
    * = one window): a host with delay d fetches at most 1 URL per d
    * generations. 0 = no delay. Deterministic 2..4 on every Nth host. */

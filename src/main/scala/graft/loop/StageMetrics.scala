@@ -1,7 +1,7 @@
 package graft.loop
 
 import org.apache.spark.SparkContext
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import scala.collection.mutable
 
 /**
@@ -40,6 +40,10 @@ final class StageMetrics(sc: SparkContext) extends SparkListener {
 
   // stage id → (gen, action) attribution, from the submitting job's properties
   private val stageLabel = mutable.Map.empty[Int, (Int, String)]
+  // stage id → (min submission, max completion) epoch ms across attempts —
+  // kept OUT of StageRow so the crawl metrics table schema is unchanged;
+  // consumers (ScalingBench occupancy) read it via stageSpans() pre-drain
+  private val stageSpan = mutable.Map.empty[Int, (Long, Long)]
   private val acc =
     mutable.Map.empty[(Int, Int, String), (Long, Long, Long, Long, Long, Long, Long, Long)]
   // marker bookkeeping for settle(): jobId → marker token; tokens seen at JobEnd
@@ -84,6 +88,27 @@ final class StageMetrics(sc: SparkContext) extends SparkListener {
   // evicted per generation at drain() instead (the action is over by then),
   // which bounds the map just the same.
 
+  override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+    val si = ev.stageInfo
+    for (sub <- si.submissionTime; comp <- si.completionTime) acc.synchronized {
+      val (lo, hi) = stageSpan.getOrElse(si.stageId, (Long.MaxValue, Long.MinValue))
+      stageSpan(si.stageId) = (math.min(lo, sub), math.max(hi, comp))
+    }
+  }
+
+  /** (stageId, submissionMs, completionMs) for `gen`'s labelled stages —
+   * call BEFORE drain(), which evicts the labels. Spans let a caller
+   * compute wall occupancy: wall time covered by ≥1 running stage vs
+   * scheduler/driver gaps between stages. */
+  def stageSpans(gen: Int): Seq[(Int, Long, Long)] = {
+    settle()
+    acc.synchronized {
+      stageLabel.iterator.collect { case (sid, (g, _)) if g == gen =>
+        stageSpan.get(sid).map { case (lo, hi) => (sid, lo, hi) }
+      }.flatten.toVector.sortBy(_._2)
+    }
+  }
+
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
     val m = taskEnd.taskMetrics
     if (m != null) acc.synchronized {
@@ -127,7 +152,9 @@ final class StageMetrics(sc: SparkContext) extends SparkListener {
         StageRow(k._1, k._3, k._2, t, ms, mx, rec, sr, sw, gc, fw)
       }
       keys.foreach(acc.remove)
+      val evicted = stageLabel.collect { case (sid, (g, _)) if g <= gen => sid }
       stageLabel.filterInPlace { case (_, (g, _)) => g > gen }
+      evicted.foreach(stageSpan.remove)
       rows
     }
   }

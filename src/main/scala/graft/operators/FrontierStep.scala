@@ -414,12 +414,17 @@ object FrontierStep {
             .filter(robotsAllowed(col("disallows"), col("url")))
             .drop("disallows")
         case _ =>
-          // corpus modes: the deterministic corpus robots table, broadcast
-          val robotsMap: Map[String, Seq[String]] =
-            CorpusGen.robotsTable(corpusCfg).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-          val robotsBc = spark.sparkContext.broadcast(robotsMap)
+          // corpus modes: rules derived PER ROW from the deterministic
+          // corpus (a modulo on the parsed host index). The previous form —
+          // robotsTable → driver groupBy map → broadcast — cost ~12 s of
+          // serial driver wall per generation at 4.8M hosts (SizeEstimator +
+          // java-serialize + lz4 of a numHosts-sized HashMap, jstack-
+          // measured), paid identically at every cluster size: exactly the
+          // §2d/§2f "idle wall" term. Deriving at the row is free and scales
+          // with executors, not with the driver.
           val robotsOk = udf((host: String, url: String) =>
-            graft.core.Robots.allowed(robotsBc.value.getOrElse(host, Nil), url))
+            graft.core.Robots.allowed(
+              CorpusGen.robotsForHostName(corpusCfg, host), url))
           hostFiltered.filter(robotsOk(col("host"), col("url")))
       }
     val allowed = robotsFiltered.observe(obsAllowed, count(lit(1)).as("n"))

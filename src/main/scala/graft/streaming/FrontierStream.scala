@@ -180,11 +180,10 @@ object FrontierStream {
       seen: DataFrame, filter: HostFilter, corpus: CorpusConfig): DataFrame = {
     val f = filter
     val keepHost = udf((h: String) => f.keep(if (h == null) "" else h))
-    val robotsMap: Map[String, Seq[String]] =
-      CorpusGen.robotsTable(corpus).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val robotsBc = spark.sparkContext.broadcast(robotsMap)
+    // rules derived per row (see FrontierStep's corpus robots branch): a
+    // broadcast numHosts-sized map would also be rebuilt per RESTART here
     val robotsOk = udf((host: String, url: String) =>
-      graft.core.Robots.allowed(robotsBc.value.getOrElse(host, Nil), url))
+      graft.core.Robots.allowed(CorpusGen.robotsForHostName(corpus, host), url))
     val allowed = candidates
       .filter(keepHost(col("host")))
       .filter(robotsOk(col("host"), col("url")))

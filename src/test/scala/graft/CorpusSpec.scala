@@ -11,6 +11,23 @@ class CorpusSpec extends AnyFunSuite {
 
   private val cfg = CorpusConfig(seed = 42L, numHosts = 20, maxPages = 40)
 
+  test("robotsForHostName ≡ the robotsTable map for every corpus host and junk names") {
+    val rcfg = CorpusConfig(seed = 42L, numHosts = 37, maxPages = 40,
+      robotsEveryNthHost = 4)
+    val table = CorpusGen.robotsTable(rcfg)
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for (h <- 0 until rcfg.numHosts) {
+      val name = CorpusGen.hostName(h)
+      assert(CorpusGen.robotsForHostName(rcfg, name) == table.getOrElse(name, Nil),
+        s"host $name")
+    }
+    // names the map never contained must get Nil, like getOrElse did
+    for (junk <- Seq(null, "", "h.example", "hx7.example", "h12.other",
+        s"h${rcfg.numHosts}.example", "h-1.example", "h999999999999.example",
+        "example", "h0.exampleX"))
+      assert(CorpusGen.robotsForHostName(rcfg, junk).isEmpty, s"junk $junk")
+  }
+
   test("span-sequence equality across the whole corpus (kind, text, media_ref, order)") {
     val spark = SparkSuite.spark
     import spark.implicits._
