@@ -89,7 +89,10 @@ object CorpusGen {
     else {
       val mid = host.substring(1, host.length - 8)
       var i = 0
-      var ok = mid.nonEmpty && mid.length <= 9 // numHosts < 10^9 ⇒ no overflow
+      // leading zeros never occur in hostName's output — "h00.example"
+      // must get Nil like the map's getOrElse, not host 0's rules
+      var ok = mid.nonEmpty && mid.length <= 9 && // numHosts < 10^9 ⇒ no overflow
+        !(mid.length > 1 && mid.charAt(0) == '0')
       while (ok && i < mid.length) {
         val c = mid.charAt(i); if (c < '0' || c > '9') ok = false; i += 1
       }

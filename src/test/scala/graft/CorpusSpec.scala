@@ -24,7 +24,7 @@ class CorpusSpec extends AnyFunSuite {
     // names the map never contained must get Nil, like getOrElse did
     for (junk <- Seq(null, "", "h.example", "hx7.example", "h12.other",
         s"h${rcfg.numHosts}.example", "h-1.example", "h999999999999.example",
-        "example", "h0.exampleX"))
+        "example", "h0.exampleX", "h00.example", "h04.example"))
       assert(CorpusGen.robotsForHostName(rcfg, junk).isEmpty, s"junk $junk")
   }
 
