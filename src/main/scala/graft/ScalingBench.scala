@@ -200,6 +200,7 @@ object ScalingBench {
     spark.sparkContext.addSparkListener(sm)
 
     val t0 = System.nanoTime()
+    val wallStartMs = System.currentTimeMillis() // span offsets are relative to THIS
     val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
     def tr(what: String): Unit =
       if (trace) System.err.println(f"TRACE ${(System.nanoTime() - t0) / 1e9}%.2f $what")
@@ -216,9 +217,10 @@ object ScalingBench {
     // wall occupancy: how much of the wall had ≥1 stage running vs
     // scheduler/driver gaps between stages (the non-task share of the
     // §2d/§2f utilization term — tails INSIDE stages are the rest)
+    // spans are read AFTER sec is captured (stageSpans settles the listener
+    // bus, which takes time of its own) — so the wall window is anchored at
+    // the recorded start, never reconstructed backwards from "now"
     val spans = sm.stageSpans(0)
-    val wallEndMs = System.currentTimeMillis()
-    val wallStartMs = wallEndMs - (sec * 1000).toLong
     val spansJson = spans.map { case (sid, s, e) =>
       s"[$sid,${s - wallStartMs},${e - wallStartMs}]"
     }.mkString("[", ",", "]")

@@ -34,8 +34,10 @@ object Extract {
    * nesting; href-less anchors produce nothing (html.rs:97-120). Backed by
    * the tolerant HTML5-style tokenizer (HtmlScan), the Spark-side analogue
    * of the reference's DOM-parse + `select("a")` (html.rs:25-27,71-87);
-   * values arrive entity-decoded exactly as a DOM `attr("href")` would. */
-  def rawHrefs(html: String): Seq[String] = HtmlScan.parse(html).hrefs
+   * values arrive entity-decoded exactly as a DOM `attr("href")` would.
+   * Runs the tokenizer's hrefs-only mode: no span/coverage construction. */
+  def rawHrefs(html: String): Seq[String] =
+    HtmlScan.parse(html, buildSpans = false).hrefs
 
   /** Full raw-HTML pipeline: UTF-8 decode → anchor scan → resolve → scheme filter. */
   def linksFromHtml(baseUrl: String, body: Array[Byte]): Seq[String] =
@@ -63,9 +65,12 @@ object Extract {
 
   /** One-pass fetch-partition product: (hrefs, spans, coverage) from a
    * single scan of the body — the hot-path form (FrontierStep.Http fetch
-   * used to pay three passes for the same three answers). */
-  def parsePage(html: String): (Seq[String], Seq[Span], Double) = {
-    val r = HtmlScan.parse(html)
-    (r.hrefs, r.spans, r.coverage)
+   * used to pay three passes for the same three answers). `withSpans =
+   * false` (the non-archiving fetch) skips span/coverage construction
+   * entirely and returns (hrefs, Nil, 0.0) — hrefs are identical in both
+   * modes (HtmlParseSpec pins the parity). */
+  def parsePage(html: String, withSpans: Boolean = true): (Seq[String], Seq[Span], Double) = {
+    val r = HtmlScan.parse(html, buildSpans = withSpans)
+    (r.hrefs, if (withSpans) r.spans else Nil, if (withSpans) r.coverage else 0.0)
   }
 }

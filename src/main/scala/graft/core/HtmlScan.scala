@@ -69,12 +69,18 @@ private[graft] object HtmlScan {
     "script", "style", "textarea", "title", "noscript", "template",
     "svg", "math", "iframe", "xmp", "noframes")
 
-  def parse(html: String): Result = {
+  /** One tokenizer pass. `buildSpans = false` is the hrefs-only hot path
+   * (non-archiving fetch, streaming link extraction): anchor tracking and
+   * attribute parsing are identical, but visible text is never accumulated,
+   * normalized or wrapped in Span objects — and `coverage` is then a
+   * meaningless 1.0 (callers in that mode must not record it). */
+  def parse(html: String, buildSpans: Boolean = true): Result = {
     val n = html.length
     val spans = scala.collection.mutable.ArrayBuffer.empty[Span]
     val hrefs = Vector.newBuilder[String]
     val text = new java.lang.StringBuilder(64)  // visible text outside anchors
     val aText = new java.lang.StringBuilder(32) // visible text inside the open anchor
+    val scratch = new java.lang.StringBuilder(8) // hrefs-only entity discard
     var aOpen = false
     var aHref: String = null // null ⇒ href-less anchor (text dropped by rule)
     var aIdx = -1            // reserved link-span slot for an hrefed anchor
@@ -82,14 +88,16 @@ private[graft] object HtmlScan {
     var captured = 0L
     var i = 0
 
-    def flushText(): Unit = {
+    def flushText(): Unit = if (buildSpans) {
       val s = normalize(text); text.setLength(0)
       if (s.nonEmpty) { spans += Span(Span.Text, s, "", spans.length); captured += s.length }
     }
     def closeAnchor(): Unit = if (aOpen) {
-      val s = normalize(aText); aText.setLength(0)
-      if (aHref != null) { spans(aIdx) = spans(aIdx).copy(text = s); captured += s.length }
-      else dropped += s.length
+      if (buildSpans) {
+        val s = normalize(aText); aText.setLength(0)
+        if (aHref != null) { spans(aIdx) = spans(aIdx).copy(text = s); captured += s.length }
+        else dropped += s.length
+      }
       aOpen = false; aHref = null; aIdx = -1
     }
     def buf: java.lang.StringBuilder = if (aOpen) aText else text
@@ -131,7 +139,9 @@ private[graft] object HtmlScan {
             val end = html.indexOf('>', j)
             i = if (end < 0) n else end + 1
             if (name == "a") closeAnchor()
-            else if (Block(name)) { if (aOpen) aText.append(' ') else flushText() }
+            else if (Block(name)) {
+              if (aOpen) { if (buildSpans) aText.append(' ') } else flushText()
+            }
           } else { // "</" not followed by a name: HTML5 bogus comment
             val end = html.indexOf('>', i + 2)
             i = if (end < 0) n else end + 1
@@ -184,22 +194,30 @@ private[graft] object HtmlScan {
               aOpen = true
               if (hasHref) {
                 aHref = href; hrefs += href
-                aIdx = spans.length
-                spans += Span(Span.Link, "", href, spans.length)
+                if (buildSpans) {
+                  aIdx = spans.length
+                  spans += Span(Span.Link, "", href, spans.length)
+                }
               }
             case "img" =>
-              if (src != null) {
+              if (src != null && buildSpans) {
                 if (!aOpen) flushText()
                 spans += Span(Span.Media, "", src, spans.length)
               }
             case t if RawText(t) => skipRawText(t)
-            case t if Block(t)   => if (aOpen) aText.append(' ') else flushText()
+            case t if Block(t)   =>
+              if (aOpen) { if (buildSpans) aText.append(' ') } else flushText()
             case _               => () // inline element: no text split
           }
-        } else { buf.append(c); i += 1 } // lone '<': literal text (HTML5)
+        } else { // lone '<': literal text (HTML5)
+          if (buildSpans) buf.append(c)
+          i += 1
+        }
       } else if (c == '&') {
-        i = appendEntity(html, i, buf)
-      } else { buf.append(c); i += 1 }
+        // entity scan must advance i identically in both modes
+        i = if (buildSpans) appendEntity(html, i, buf)
+            else { val nx = appendEntity(html, i, scratch); scratch.setLength(0); nx }
+      } else { if (buildSpans) buf.append(c); i += 1 }
     }
     closeAnchor(); flushText()
     val cov = if (captured + dropped == 0) 1.0

@@ -223,28 +223,47 @@ object CrawlLoop {
           val matchHost = udf((u: String) =>
             subs.exists(graft.core.UrlCanon.hostOfCanonical(u).contains))
           val allSeen = spark.read.parquet(io.deltaDirs("seen", prevGen): _*)
+          // (1) STAGE the purged rewrite: the final [0, prevGen] merge dir
+          // is itself an INPUT whenever the previous generation's compaction
+          // collapsed the whole cover — an in-place overwrite would read and
+          // delete the same files in one job. The stage dir never collides.
           val obsP = Observation()
           allSeen.filter(!matchHost(col("url")))
             .repartition(spark.sparkContext.defaultParallelism, col("url"))
             .observe(obsP, count(lit(1)).as("rows"))
-            .write.mode("overwrite").parquet(io.mergeDir("seen", 0, prevGen))
-          io.commitMerge("seen", 0, prevGen,
-            obsP.get.apply("rows").asInstanceOf[Long])
-          // routed per-shard fingerprint deletion (cuckoo only — bloom keeps
-          // stale bits by design); the delete-updated RDD stays one file
-          // read + one routed batch deep until this gen's files land
+            .write.mode("overwrite").parquet(io.mergeStageDir("seen", 0, prevGen))
+          // (2) routed per-shard fingerprint deletion (cuckoo only — bloom
+          // keeps stale bits by design), file-checkpointed to a
+          // retraction-scoped sketch dir and RELOADED before any old segment
+          // is deleted: a cached-only RDD's lineage still reads the old
+          // files, and an executor loss after the GC below would recompute
+          // from deleted paths. The dedicated dir (not prevGen's, not
+          // gen's) keeps crash replay exact: resume always reloads the
+          // PRE-delete prevGen checkpoint, so the delete-scan never runs
+          // twice against already-deleted fingerprints (a cuckoo delete of
+          // an absent key can evict a colliding present key).
+          val retractCkpt = io.sketchDir(gen) + "_retract"
           if (cfg.seenSketch == "cuckoo") shards.foreach { rdd =>
             val updated = ShardStore.update(rdd,
                 allSeen.filter(matchHost(col("url"))).select("url").as[String],
                 delete = true)
               .persist(StorageLevel.MEMORY_AND_DISK)
             updated.count()
+            ShardStore.write(updated, retractCkpt)
+            val fromFiles = ShardStore.load(spark, retractCkpt, shardsN,
+                Some(cfg.seenSketch))
+              .map(_.persist(StorageLevel.MEMORY_AND_DISK))
             rdd.unpersist(blocking = false)
-            shards = Some(updated)
+            updated.unpersist(blocking = false)
+            shards = fromFiles.orElse(shards)
           }
-          // GC LAST: the sketch delete-scan above re-reads allSeen from the
-          // covered segment files — the purged rows leave disk here, after
-          // every reader of the old segments is done
+          // (3) swap the staged data into place, then commit and GC: every
+          // reader of the old segments (the stage write, the delete-scan,
+          // the checkpoint) has finished, and the live sketch RDD's lineage
+          // is the retraction checkpoint files, not the old segments
+          io.promoteStagedMerge("seen", 0, prevGen)
+          io.commitMerge("seen", 0, prevGen,
+            obsP.get.apply("rows").asInstanceOf[Long])
           io.gcCovered("seen")
         }
       }
@@ -396,6 +415,10 @@ object CrawlLoop {
           swapInShards(gen)
         }
       }
+      // a retraction's sketch checkpoint is dead once sketch_build swapped
+      // the live RDD to this generation's own files (no-op otherwise)
+      if (cfg.retractHosts.contains(prevGen))
+        io.deleteDir(io.sketchDir(gen) + "_retract")
 
       // ---- metrics + lineage (A1-A3) from the observations
       val nextRows = obsFrontier.get.apply("rows").asInstanceOf[Long]

@@ -91,8 +91,15 @@ final class StageMetrics(sc: SparkContext) extends SparkListener {
   override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
     val si = ev.stageInfo
     for (sub <- si.submissionTime; comp <- si.completionTime) acc.synchronized {
-      val (lo, hi) = stageSpan.getOrElse(si.stageId, (Long.MaxValue, Long.MinValue))
-      stageSpan(si.stageId) = (math.min(lo, sub), math.max(hi, comp))
+      // labelled stages only (the job's onJobStart precedes its stage
+      // completions on the ordered listener bus): unlabelled jobs — settle
+      // markers, metrics-table writes, arbitrary caller jobs — must not
+      // grow the map, or a long crawl leaks one entry per such stage and
+      // the per-generation drain eviction never reclaims them
+      if (stageLabel.contains(si.stageId)) {
+        val (lo, hi) = stageSpan.getOrElse(si.stageId, (Long.MaxValue, Long.MinValue))
+        stageSpan(si.stageId) = (math.min(lo, sub), math.max(hi, comp))
+      }
     }
   }
 

@@ -255,7 +255,7 @@ object FrontierStep {
                     // partition — the raw body never leaves it
                     // (archive/rmq.rs:29-43 analogue). parse_cov is exact
                     // under the tolerant tokenizer (Extract.spanCoverage).
-                    val (hrefs, allSp, cv) = graft.core.Extract.parsePage(html)
+                    val (hrefs, allSp, cv) = graft.core.Extract.parsePage(html, doArchive)
                     val inPage = new java.util.HashSet[String]()
                     val ls = hrefs.iterator.flatMap { href =>
                       graft.core.UrlCanon.resolveCanonHost(tk.url, href) match {

@@ -85,6 +85,10 @@ final class TableIO(val root: String,
    * metrics), FS-API-addressed like everything else here. */
   def dirExists(dir: String): Boolean = fs.isDirectory(new Path(dir))
 
+  /** Recursively delete a data dir (e.g. a retraction's spent sketch
+   * checkpoint) — no-op when absent. */
+  def deleteDir(dir: String): Unit = fs.delete(new Path(dir), true)
+
   /** Driver-side read of one small file (manifests, sketch shard inspection). */
   def readBytes(file: String): Array[Byte] = {
     val path = new Path(file)
@@ -165,6 +169,31 @@ final class TableIO(val root: String,
   def mergeDir(table: String, lo: Int, hi: Int): String =
     p(table, f"merge_$lo%05d-$hi%05d").toString
 
+  /** Staging dir for a SAME-RANGE merge rewrite (the retraction path): the
+   * final [0, hi] dir can be an INPUT of the rewrite when a prior
+   * compaction already collapsed the whole cover, and Spark (rightly)
+   * refuses to overwrite a path it is reading from. Writers stage here,
+   * then `promoteStagedMerge` swaps the data into place. */
+  def mergeStageDir(table: String, lo: Int, hi: Int): String =
+    mergeDir(table, lo, hi) + ".stage"
+
+  /** Swap fully-written staged merge data into the final dir (delete the
+   * old final dir if present, rename the stage). Call only after every
+   * reader of the OLD final dir has finished — including any lazily
+   * recomputable lineage. A crash between the delete and the rename is
+   * healed on the next read: `deltaDirs` promotes a complete stage whose
+   * final dir is missing (the stage is only ever deleted-into-place, so a
+   * present stage with an absent final is always fully written). */
+  def promoteStagedMerge(table: String, lo: Int, hi: Int): Unit = {
+    val fin = new Path(mergeDir(table, lo, hi))
+    val st = new Path(mergeStageDir(table, lo, hi))
+    require(fs.isDirectory(st), s"no staged merge data at $st")
+    if (fs.isDirectory(fin)) fs.delete(fin, true)
+    // FileSystem.rename signals failure by RETURN VALUE — a silent false
+    // here would leave the table with a marker and no data dir
+    if (!fs.rename(st, fin)) sys.error(s"staged-merge rename failed: $st -> $fin")
+  }
+
   private def mergeMarker(table: String, lo: Int, hi: Int): Path =
     p("_commits", f"merge_${table}_$lo%05d_$hi%05d.json")
 
@@ -208,6 +237,14 @@ final class TableIO(val root: String,
    * outermost merge segments plus the deltas they don't cover. */
   def deltaDirs(table: String, upToGen: Int): Seq[String] = {
     val (merges, loose) = cover(table, upToGen)
+    // crash heal: a committed merge whose dir is missing but whose stage
+    // dir exists crashed between promoteStagedMerge's delete and rename —
+    // complete the promotion (idempotent; the stage is fully written)
+    merges.foreach { case (lo, hi) =>
+      if (!fs.isDirectory(new Path(mergeDir(table, lo, hi))) &&
+          fs.isDirectory(new Path(mergeStageDir(table, lo, hi))))
+        promoteStagedMerge(table, lo, hi)
+    }
     (merges.map(m => mergeDir(table, m._1, m._2)) ++ loose.map(genDir(table, _)))
       .filter(d => fs.isDirectory(new Path(d)))
   }
@@ -223,6 +260,7 @@ final class TableIO(val root: String,
     val (outer, _) = cover(table, Int.MaxValue)
     committedMerges(table).filterNot(outer.contains).foreach { case (lo, hi) =>
       fs.delete(new Path(mergeDir(table, lo, hi)), true)
+      fs.delete(new Path(mergeStageDir(table, lo, hi)), true) // stale stage leftovers
       fs.delete(mergeMarker(table, lo, hi), false)
       val name = f"merge_${table}_$lo%05d_$hi%05d.json"
       commitNamesCache = commitNamesCache.map(_.filterNot(_ == name))

@@ -67,6 +67,10 @@ object FrontierStream {
    * feeds this stream must re-deliver them when their window opens (the BSP
    * loop's frontier table does exactly that; a pure-streaming deployment
    * with crawl delays should drain deferred tasks through the batch engine).
+   * `gen` is therefore REQUIRED, not defaulted: a silently-defaulted window
+   * would make every delayed task vanish from the stream with no
+   * re-delivery — pass the generation the window represents (0 for a
+   * delay-free stream).
    *
    * Skew note: a keyed stateful op puts one host's batch rows in one task
    * (no salting seam exists inside flatMapGroupsWithState) — the sort is
@@ -77,7 +81,7 @@ object FrontierStream {
    * State size: one Int per host ever selected from — bounded by the host
    * universe, orders of magnitude below URL counts; safe on any provider. */
   def politeStream(spark: SparkSession, tasks: DataFrame, k: Int,
-      gen: Long = 0L): Dataset[Task] = {
+      gen: Long): Dataset[Task] = {
     import spark.implicits._
     val select = (host: String, it: Iterator[Task], state: GroupState[Int]) => {
       val used = state.getOption.getOrElse(0)

@@ -162,6 +162,33 @@ class GoldenCrawlSpec extends AnyFunSuite {
     assert(outBl == engineOutcomes)
   }
 
+  test("retraction right after a full-cover compaction (staged same-range rewrite)") {
+    // seenCompactEvery=1 folds the cover to ONE merge [0, prevGen] every
+    // generation, so the retraction's [0, prevGen] rewrite targets the very
+    // dir it reads from — the staged-swap path must engage (an in-place
+    // overwrite is rejected by Spark as overwriting an input path). Crawl
+    // must stay oracle-identical to the uncompacted retraction golden above.
+    val cfg = CrawlConfig(
+      corpus = CorpusConfig(seed = 42L, numHosts = 10, maxPages = 24),
+      perHostCap = 3, fetchMode = graft.operators.FetchMode.Generator,
+      seenSketch = "cuckoo", seenCompactEvery = 1,
+      retractHosts = Map(4 -> Seq("h2.")))
+    val seeds = CorpusGen.seeds(cfg.corpus, 3)
+    val (engineGen, engineOutcomes, oracle) = runBoth(cfg, seeds, maxGens = 20)
+    assert(engineGen == oracle.seenGen)
+    assert(engineOutcomes == oracle.outcomes.toSet)
+    val h2gens = engineGen.collect { case (u, g) if u.contains("//h2.") => g }
+    assert(h2gens.nonEmpty && h2gens.forall(_ > 4),
+      s"expected all h2 entries rediscovered after gen 4, got ${h2gens.take(5)}")
+    // the swap completed: no .stage leftovers, no spent retraction
+    // checkpoint, and the final state reads back as exactly one live cover
+    val seenDirs = new java.io.File(lastIo.root, "seen").listFiles().map(_.getName)
+    assert(!seenDirs.exists(_.endsWith(".stage")), s"stage leftover in $seenDirs")
+    val sketchDirs = new java.io.File(lastIo.root, "sketch").listFiles().map(_.getName)
+    assert(!sketchDirs.exists(_.endsWith("_retract")),
+      s"spent retraction checkpoint left behind: ${sketchDirs.mkString(",")}")
+  }
+
   test("archive path (S7): fetched payloads land durably, spans = generator ground truth") {
     val corpus = CorpusConfig(seed = 42L, numHosts = 10, maxPages = 20)
     val cfg = CrawlConfig(corpus = corpus, perHostCap = 3, archiveFetched = true)

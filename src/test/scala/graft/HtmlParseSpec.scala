@@ -113,4 +113,27 @@ class HtmlParseSpec extends AnyFunSuite {
         s"href drift on h$h/p$p")
     }
   }
+
+  test("hrefs-only mode emits exactly the full parse's hrefs (corpus + gnarly fixtures)") {
+    // the non-archiving fetch and streaming link extraction run the
+    // tokenizer with buildSpans=false — anchor/attribute handling must not
+    // drift from the span-building pass on ANY input shape
+    val gnarly = Seq(
+      """<a href=/one>x</a><a name=skip>y</a><A HREF='/two?a=1&amp;b=2'>z""",
+      """<p>text <a class=btn href="/q?x=%20y">link <img src=/i.png></a> tail</p>""",
+      """<script>var a = "<a href=/fake>";</script><a href=/real>r</a>""",
+      """<!-- <a href=/no> --><a href="/yes">y</a><![CDATA[<a href=/cd>]]>""",
+      """broken < tag <a href= >empty</a><a href>no value</a>""",
+      """<div><a href="/outer">one<a href="/inner">two</a></div>""")
+    val cfg = graft.corpus.CorpusConfig(seed = 42L, numHosts = 4, maxPages = 8)
+    val corpus = for (h <- 0 until cfg.numHosts;
+        p <- 0 until graft.corpus.CorpusGen.pageCount(cfg, h))
+      yield graft.corpus.CorpusGen.pageHtml(cfg, h, p)
+    (gnarly ++ corpus).foreach { html =>
+      val full = Extract.parsePage(html, withSpans = true)
+      val lean = Extract.parsePage(html, withSpans = false)
+      assert(lean._1 == full._1, s"href drift in hrefs-only mode on: ${html.take(60)}")
+      assert(lean._2.isEmpty && lean._3 == 0.0)
+    }
+  }
 }

@@ -13,12 +13,19 @@ import java.nio.file.Files
  * production config for unbounded URL-seen state (FrontierStream.dedupStream
  * scaladoc) — so every parity assertion here is also a RocksDB-parity
  * assertion. */
-class StreamingSpec extends AnyFunSuite {
+class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = {
     val s = SparkSuite.spark
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     s
+  }
+
+  // the session is SHARED across suites — restore the default provider so a
+  // later suite's streaming query doesn't silently inherit RocksDB
+  override def afterAll(): Unit = {
+    SparkSuite.spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    super.afterAll()
   }
 
   private def stage(cfg: CorpusConfig): (String, Long) = {
@@ -157,7 +164,7 @@ class StreamingSpec extends AnyFunSuite {
     val fSchema = spark.read.parquet(fDir).schema
     def frontierStream = spark.readStream.schema(fSchema).parquet(fDir)
 
-    val selQ = FrontierStream.politeStream(spark, frontierStream, cfg.perHostCap)
+    val selQ = FrontierStream.politeStream(spark, frontierStream, cfg.perHostCap, gen = 0L)
       .writeStream.outputMode("append").format("memory").queryName("stream_sel")
       .option("checkpointLocation", Files.createTempDirectory("graft-ck-sel").toString)
       .trigger(Trigger.AvailableNow()).start()
@@ -168,7 +175,7 @@ class StreamingSpec extends AnyFunSuite {
       s"batch-only=${(batchSelected -- streamSelected).take(3)}")
 
     val candQ = FrontierStream.fetchExtractStream(spark,
-        FrontierStream.politeStream(spark, frontierStream, cfg.perHostCap), corpus)
+        FrontierStream.politeStream(spark, frontierStream, cfg.perHostCap, gen = 0L), corpus)
       .writeStream.outputMode("append").format("memory").queryName("stream_cand")
       .option("checkpointLocation", Files.createTempDirectory("graft-ck-cand").toString)
       .trigger(Trigger.AvailableNow()).start()
@@ -195,7 +202,7 @@ class StreamingSpec extends AnyFunSuite {
     frontier1.coalesce(1).write.mode("append").parquet(fDir)
     val oneFilePerBatch = spark.readStream.schema(fSchema)
       .option("maxFilesPerTrigger", 1).parquet(fDir) // original, THEN the replay
-    val selQ2 = FrontierStream.politeStream(spark, oneFilePerBatch, cfg.perHostCap)
+    val selQ2 = FrontierStream.politeStream(spark, oneFilePerBatch, cfg.perHostCap, gen = 0L)
       .writeStream.outputMode("append").format("memory").queryName("stream_sel2")
       .option("checkpointLocation", Files.createTempDirectory("graft-ck-sel2").toString)
       .trigger(Trigger.AvailableNow()).start()
@@ -244,7 +251,7 @@ class StreamingSpec extends AnyFunSuite {
         .coalesce(1).write.mode("overwrite").parquet(fDir)
       val schema = spark.read.parquet(fDir).schema
       def tasks = FrontierStream.politeStream(spark,
-        spark.readStream.schema(schema).parquet(fDir), 3)
+        spark.readStream.schema(schema).parquet(fDir), 3, gen = 0L)
       val httpQ = FrontierStream.fetchExtractStreamHttp(spark, tasks, rewrite)
         .writeStream.outputMode("append").format("memory").queryName("shttp_cand")
         .option("checkpointLocation", Files.createTempDirectory("graft-ck-sh").toString)
