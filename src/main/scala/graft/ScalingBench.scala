@@ -39,6 +39,7 @@ object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("pure")) { purePath(); return }
+    if (args.headOption.contains("http")) { httpPath(); return }
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
@@ -252,6 +253,105 @@ object ScalingBench {
   }
 
   /** Pure-thread hot path (no Spark): the machine's per-core compute ceiling. */
+  /** `http` mode: ONE steady-state generation through the PRODUCTION fetch
+   * path — real loopback sockets, robots.txt fetched over the wire for
+   * every cache-miss host, per-partition pooled HTTP clients, the tolerant
+   * HTML tokenizer in hrefs-only mode, canonicalize, politeness, dedup.
+   * The deterministic corpus is served by an in-process HttpServer, so the
+   * number is a single-box LOWER bound: client executors and server
+   * threads share the same cores, and every page pays a real HTTP
+   * round-trip that the Generator mode does not. Knobs:
+   * SPARK_GRAFT_HTTP_HOSTS (corpus hosts, default 60000),
+   * SPARK_GRAFT_HTTP_SRV (server threads, default 16). */
+  private def httpPath(): Unit = {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val hosts = sys.env.getOrElse("SPARK_GRAFT_HTTP_HOSTS", "60000").toInt
+    val corpus = CorpusConfig(seed = 42L, numHosts = hosts, maxPages = hosts / 2)
+    // without this the sun HttpServer's two-segment response (headers, then
+    // body) trips Nagle + delayed ACK: ~40 ms per request, ~500 urls/s no
+    // matter the parallelism (measured; 25× faster with it)
+    System.setProperty("sun.net.httpserver.nodelay", "true")
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 4096)
+    val RobotsRe = "^h([0-9]+)\\.example/robots\\.txt$".r
+    server.createContext("/", (ex: HttpExchange) => {
+      val raw = ex.getRequestURI.getRawPath.stripPrefix("/") +
+        Option(ex.getRequestURI.getRawQuery).map("?" + _).getOrElse("")
+      val (status, body) = raw match {
+        case RobotsRe(hs) =>
+          val h = hs.toInt
+          val dis = CorpusGen.robotsDisallows(corpus, h)
+          val dly = CorpusGen.crawlDelayOf(corpus, h)
+          if (dis.isEmpty && dly == 0) (404, "no robots here")
+          else (200, "User-agent: *\n" + dis.map("Disallow: " + _).mkString("\n") +
+            (if (dly > 0) s"\nCrawl-delay: $dly" else ""))
+        case _ => CorpusGen.resolvePage(corpus, s"http://$raw") match {
+          case CorpusGen.PageLookup.Found(h, p) => (200, CorpusGen.pageHtml(corpus, h, p))
+          case _ => (404, "gone")
+        }
+      }
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    val srvThreads = sys.env.getOrElse("SPARK_GRAFT_HTTP_SRV", "16").toInt
+    val srvPool = java.util.concurrent.Executors.newFixedThreadPool(srvThreads)
+    server.setExecutor(srvPool)
+    server.start()
+    val port = server.getAddress.getPort
+    val rewrite: String => String = { url =>
+      val host = graft.core.UrlCanon.hostOf(url)
+      s"http://127.0.0.1:$port/$host${graft.core.Robots.pathOf(url)}"
+    }
+    val cfg = CrawlConfig(corpus = corpus, perHostCap = 200,
+      bloomExpectedItems = 1L << 20,
+      fetchMode = graft.operators.FetchMode.Http(rewrite, connectTimeoutMs = 5000,
+        requestTimeoutMs = 20000))
+
+    // small warmup through the same path (JIT on client + server)
+    {
+      val wCorpus = CorpusConfig(seed = 7L, numHosts = 500, maxPages = 500)
+      // served pages come from `corpus` — warm against real corpus hosts
+      val wf = BenchFrontier.allPages(spark, wCorpus)
+      val ws = FrontierStep.step(spark, wf, wf.select(
+        org.apache.spark.sql.functions.col("url")).limit(1), None,
+        graft.corpus.CorpusTables.documents(spark, wCorpus), cfg, 0)
+      ws.outcomes.count(); ws.discovered.count()
+      ws.persisted.foreach(_.unpersist(blocking = false))
+    }
+
+    val frontier = BenchFrontier.allPages(spark, corpus)
+    val seedSeen = frontier.select(org.apache.spark.sql.functions.col("url")).limit(1)
+    val docs = graft.corpus.CorpusTables.documents(spark, corpus) // unused in Http mode
+    val t0 = System.nanoTime()
+    val step = FrontierStep.step(spark, frontier, seedSeen, None, docs, cfg, 0)
+    val fetched = step.outcomes.count()
+    val ok = step.outcomes.filter(org.apache.spark.sql.functions
+      .col("outcome") === "ok").count()
+    val discovered = step.discovered.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(s"""{"bench":"http_steady_state","cpus":$cpus,""" +
+      s""""server_threads":$srvThreads,"hosts":$hosts,""" +
+      s""""fetched":$fetched,"ok":$ok,"discovered":$discovered,""" +
+      s""""wall_sec":$sec,"urls_fetched_per_sec":${fetched / sec}}""")
+    server.stop(0)
+    srvPool.shutdownNow()
+    spark.stop()
+    // bench main: force exit — the executor JVM-shared HttpClients (JDK 17
+    // has no close()) would otherwise keep non-daemon threads alive
+    sys.exit(0)
+  }
+
   private def purePath(): Unit = {
     val cfg = CorpusConfig(seed = 42L, numHosts = 400000, maxPages = 150000)
     def work(tid: Int, iters: Int): Long = {

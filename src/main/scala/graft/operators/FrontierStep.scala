@@ -242,7 +242,7 @@ object FrontierStep {
           .select("url", "host", "priority", "next_fetch", "retry_count", "gen")
           .as[graft.model.Task]
           .mapPartitions { it =>
-            lazy val client = graft.sources.HttpFetcher.newClient(cTo)
+            lazy val client = graft.sources.HttpFetcher.sharedClient(cTo)
             it.map { tk =>
               val r = graft.sources.HttpFetcher.fetchOne(client, rw(tk.url), rTo)
               val (outcome, links, spans, cov) =
@@ -532,7 +532,7 @@ object FrontierStep {
     val spark = hosts.sparkSession
     import spark.implicits._
     hosts.mapPartitions { it =>
-      lazy val client = graft.sources.HttpFetcher.newClient(connectTimeoutMs)
+      lazy val client = graft.sources.HttpFetcher.sharedClient(connectTimeoutMs)
       it.map { h =>
         val r = graft.sources.HttpFetcher.fetchOne(
           client, rewrite(s"http://$h/robots.txt"), requestTimeoutMs)

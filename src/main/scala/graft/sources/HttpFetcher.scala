@@ -26,12 +26,22 @@ final case class FetchResult(url: String, status: Int, body: Array[Byte],
  */
 object HttpFetcher {
 
-  /** One pooled client (per partition / per test). */
+  /** One pooled client (per test; production partitions use sharedClient). */
   def newClient(connectTimeoutMs: Int): java.net.http.HttpClient =
     java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs.toLong))
       .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
       .build()
+
+  // one client per EXECUTOR JVM (keyed by connect timeout), exactly the
+  // reference's one-reqwest-Client-per-process design (downloader.rs:13-21):
+  // JDK HttpClient is thread-safe and pools connections internally, so all
+  // of an executor's tasks share one socket pool and one selector thread
+  // instead of leaking a client (JDK 17 has no close()) per partition
+  private val shared =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.net.http.HttpClient]()
+  def sharedClient(connectTimeoutMs: Int): java.net.http.HttpClient =
+    shared.computeIfAbsent(connectTimeoutMs, newClient(_))
 
   /** GET one URL, mapping failures to the reference's outcome semantics.
    * Pure I/O + mapping — no Spark — so the error table is unit-testable. */

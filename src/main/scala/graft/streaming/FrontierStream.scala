@@ -140,7 +140,7 @@ object FrontierStream {
     import spark.implicits._
     val rw = rewrite
     tasks.mapPartitions { it =>
-      lazy val client = graft.sources.HttpFetcher.newClient(connectTimeoutMs)
+      lazy val client = graft.sources.HttpFetcher.sharedClient(connectTimeoutMs)
       it.flatMap { tk =>
         val r = graft.sources.HttpFetcher.fetchOne(client, rw(tk.url), requestTimeoutMs)
         val outcome = Iterator.single(
