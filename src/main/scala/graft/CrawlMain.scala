@@ -10,7 +10,11 @@ import org.apache.spark.sql.SparkSession
  * spark-submit entry for the BSP crawl (north_rule: "run via spark-submit
  * ... at two cluster sizes"). Local sandbox: parallelism via SPARK_GRAFT_CPUS.
  *
- * Usage: CrawlMain <workDir> [numHosts] [maxPages] [perHostCap] [maxGens] [seeds] [join|gen]
+ * Usage: CrawlMain <workDir> [numHosts] [maxPages] [perHostCap] [maxGens] [seeds] [join|gen|http]
+ *                  [--seeds-file=FILE]  (http mode: one ABSOLUTE seed URL per
+ *                  line — the real-web entry; corpus sizing args are ignored
+ *                  for fetching, only the politeness/sketch args apply.
+ *                  robots.txt is fetched over the wire per host, once ever.)
  *                  [--whitelist=FILE] [--blacklist=FILE] [--sketch=bloom|cuckoo|none] [--archive]
  *                  [--delay-every=N]  (every Nth corpus host declares a robots
  *                  Crawl-delay of 2-4 politeness windows; 0/absent = none)
@@ -41,8 +45,11 @@ object CrawlMain {
     val perHostCap = if (pos.length > 3) pos(3).toInt else 5
     val maxGens = if (pos.length > 4) pos(4).toInt else 30
     val nSeeds = if (pos.length > 5) pos(5).toInt else 5
-    val fetchMode = if (pos.length > 6 && pos(6) == "gen")
-      graft.operators.FetchMode.Generator else graft.operators.FetchMode.CorpusJoin
+    val fetchMode = pos.lift(6) match {
+      case Some("gen")  => graft.operators.FetchMode.Generator
+      case Some("http") => graft.operators.FetchMode.Http() // identity rewrite: the real web
+      case _            => graft.operators.FetchMode.CorpusJoin
+    }
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
@@ -82,8 +89,21 @@ object CrawlMain {
       carryHostThroughDedup = flag("carry-host").forall(_.toBoolean),
       bloomExpectedItems = 1L << 22)
     val io = new TableIO(workDir)
+    // http mode crawls REAL urls: seeds come from --seeds-file (one absolute
+    // URL per line), not from the synthetic corpus namespace
+    val seeds: Seq[String] = flag("seeds-file") match {
+      case Some(f) => spark.read.textFile(f).collect().toSeq
+        .map(_.trim).filter(s => s.nonEmpty && !s.startsWith("#"))
+      case None =>
+        fetchMode match { // case-class equality is unreliable on the rewrite fn
+          case _: graft.operators.FetchMode.Http =>
+            sys.error("http mode needs --seeds-file=FILE (one absolute seed URL per line)")
+          case _ => ()
+        }
+        CorpusGen.seeds(cfg.corpus, nSeeds)
+    }
     val t0 = System.nanoTime()
-    val res = CrawlLoop.run(spark, io, CorpusGen.seeds(cfg.corpus, nSeeds), cfg, maxGens)
+    val res = CrawlLoop.run(spark, io, seeds, cfg, maxGens)
     val wallSec = (System.nanoTime() - t0) / 1e9
     val fetched = res.stats.map(_.fetched).sum
     val discovered = res.stats.map(_.discovered).sum
