@@ -140,7 +140,14 @@ object UrlCanon {
       }
     if (hostStr.isEmpty) return None // http:// with no host is invalid
     if (!isValidHost(hostStr)) return None
-    Some(ParsedUrl(scheme, userInfo, Some(hostStr), portOpt, path, query, frag, None))
+    // RFC 3986 path normalization belongs to PARSING (the url crate's
+    // Url::parse does it), not only to relative resolution: without it an
+    // absolute href "http://e.com/a/../b" and a relative "b" resolved from
+    // /a/ canonicalize to two different seen-set keys for one resource and
+    // the crawler fetches it twice. "/." is the cheap guard — dot segments
+    // always contain it (leading segments can't occur: path is ""-or-/-led).
+    val normPath = if (path.contains("/.")) removeDotSegments(path) else path
+    Some(ParsedUrl(scheme, userInfo, Some(hostStr), portOpt, normPath, query, frag, None))
   }
 
   private def parsePort(s: String): Option[Int] =

@@ -95,16 +95,21 @@ object BloomSketch {
   }
 
   /** Geometry for n expected items at target false-positive rate. */
+  /** Largest word count a shard can round-trip through one byte[] —
+   * serialize() allocates 8 + words*8 bytes, and a shard must fit a single
+   * ShardStore file / broadcast buffer. (The old 2^37-BIT ceiling admitted
+   * geometries whose serialize() overflowed Int and crashed at write time.) */
+  val MaxWords: Int = (Int.MaxValue - 16) / 8
+
   def create(expectedItems: Long, fpp: Double): BloomSketch = {
     val n = math.max(1L, expectedItems)
     val mBits = math.max(64L, math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    // JVM array ceiling: one sketch maxes out at ~2^37 bits (16 GiB). Past
-    // that, shard (ShardedBloom) instead of growing a single geometry.
-    require(mBits < (1L << 37),
-      s"bloom geometry $mBits bits exceeds single-array ceiling; use ShardedBloom")
-    val words = ((mBits + 63) / 64).toInt
+    val wordsL = (mBits + 63) / 64
+    require(wordsL <= MaxWords,
+      s"bloom geometry $mBits bits ($wordsL words) serializes past the 2 GiB " +
+      "single-shard ceiling; raise sketchShards instead of growing one shard")
     val k = math.max(1, math.round(mBits.toDouble / n * math.log(2)).toInt)
-    new BloomSketch(new Array[Long](words), k)
+    new BloomSketch(new Array[Long](wordsL.toInt), k)
   }
 
   /** Exact geometry (for building delta sketches OR-mergeable with an
@@ -208,9 +213,15 @@ object CuckooFilter {
   val MaxKicks = 500
 
   def create(expectedItems: Long): CuckooFilter = {
-    // ~95% load factor ceiling for 4-way buckets; size up with slack
-    val buckets = Integer.highestOneBit(
-      math.max(4, (expectedItems / (BucketSize * 0.84)).toInt)) * 2
+    // ~84% load ceiling for 4-way buckets; size up to the next power of two
+    // with slack. LONG math throughout: the old Int truncation wrapped at
+    // ≥3.6e9 expected items to a negative bucket count and an empty table.
+    val want = math.max(4L, (expectedItems / (BucketSize * 0.84)).toLong)
+    // table = buckets*4 Shorts must serialize into one byte[] (18 + len*2)
+    require(want < (1L << 28),
+      s"cuckoo geometry for $expectedItems expected items exceeds the " +
+      "single-shard table ceiling; raise sketchShards")
+    val buckets = (java.lang.Long.highestOneBit(want) * 2).toInt
     new CuckooFilter(new Array[Short](buckets * BucketSize), buckets)
   }
 }

@@ -77,7 +77,11 @@ final case class BloomSeenShard(id: Int, sketch: BloomSketch, items: Long)
     // (designed fill ≈ half the cap) instead of re-saturating next gen;
     // floored at double the current geometry so progress is guaranteed
     val sized = BloomSketch.create(math.max(64L, items * 2), fpp)
-    val words = math.max(sized.bits.length, sketch.bits.length * 2)
+    // Long doubling + ceiling clamp: at MaxWords the shard stops growing and
+    // its FP rate degrades (FP-only ⇒ correct, slower) — the design answer
+    // past that point is more shards, enforced at create() time
+    val words = math.min(BloomSketch.MaxWords.toLong,
+      math.max(sized.bits.length.toLong, sketch.bits.length.toLong * 2)).toInt
     val sk = BloomSketch.createWithGeometry(words, sized.numHashes)
     var n = 0L
     slice.foreach { u => if (u != null) { sk.put(u); n += 1 } }
@@ -282,6 +286,13 @@ object ShardStore {
           fs.makeQualified(path).toUri, confBc.value.value)
         fc.rename(fs.makeQualified(tmp), fs.makeQualified(path),
           org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        // best-effort sweep of THIS shard's tmp files from killed/zombie
+        // attempts (a dead attempt between create and rename leaves its
+        // file forever, and sizing listings would count it)
+        try fs.globStatus(new org.apache.hadoop.fs.Path(
+            dir, f"_tmp_shard_${s.id}%05d.*.bin"))
+          .foreach(st => fs.delete(st.getPath, false))
+        catch { case _: java.io.IOException => () }
         ShardMeta(s.id, s.items, bytes.length.toLong, s.needsRebuild(rebuildCap))
       } else ShardMeta(s.id, s.items, 0L, s.needsRebuild(rebuildCap))
     }.collect().toSeq

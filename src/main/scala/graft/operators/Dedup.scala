@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
  *              keys → self-join per bucket (shuffle on band key) → exact
  *              Jaccard verify on the candidate pairs only. Bucket skew is
  *              capped: degenerate buckets (> maxBucket docs, e.g. boilerplate)
- *              are dropped and counted, the standard stop-bucket guard.
+ *              are DROPPED — the standard stop-bucket guard. The loss is
+ *              bounded (only pairs whose every shared band is degenerate are
+ *              missed) and deliberate; no counter is emitted.
  *  - simhash:  64-bit fingerprint; pigeonhole segment blocking finds all
  *              pairs within hamming distance < segments.
  *  - ngram:    minhash candidates verified with EXACT n-gram Jaccard — the
  *              accuracy path; brute-force O(n²) never materialises.
- *  - embedding: cosine near-dup via Similarity.selfNearDup.
+ *  - embedding: cosine near-dup via Similarity.cosinePairs (exact, blocked)
+ *              or Similarity.lshNearDupPairs (the at-scale path).
  */
 object Dedup {
 
@@ -107,6 +110,10 @@ object Dedup {
     try {
       var changed = 1L
       var i = 0
+      // min-label propagation converges in O(component diameter) rounds —
+      // hitting maxIter with changes outstanding means the labels are NOT
+      // transitively consistent, and returning them silently would split
+      // one cluster into several; fail loud instead (check after the loop)
       while (changed > 0 && i < maxIter) {
         val labelType = labels.schema("label").dataType
         val viaNeighbours = edges
@@ -126,6 +133,10 @@ object Dedup {
         labels = next
         i += 1
       }
+      if (changed > 0) sys.error(
+        s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — the pair graph has a component " +
+        s"of diameter > $maxIter; raise maxIter")
       labels
     } finally edges.unpersist()
   }

@@ -259,12 +259,25 @@ object Similarity {
    * pass), nProbe-list probing, exact re-rank inside probed lists.
    * Every tie and every float accumulation order is pinned (seeds by md5 of
    * id; per-list mean summed in id order) so the result is reproducible by
-   * the SQL oracle. */
+   * the SQL oracle.
+   *
+   * Id contract: `idCol` must be INTEGRAL (the refine pass encodes it as
+   * Long for the deterministic per-list summation order the oracle
+   * replicates). String-keyed corpora — which cosinePairs/lshNearDupPairs
+   * accept — need a dense numeric id first (`zipWithUniqueId` / hash); the
+   * require below turns the analysis-time upcast error into a direct
+   * message. */
   def ivfTopK(vectors: DataFrame, k: Int, nLists: Int = 16, nProbe: Int = 4,
       refineSample: Int = 4096,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    require(Seq("long", "int", "integer", "bigint", "smallint", "tinyint")
+        .contains(vectors.schema(idCol).dataType.typeName),
+      s"ivfTopK needs an integral id column; '$idCol' is " +
+      s"${vectors.schema(idCol).dataType.typeName} — assign a numeric id " +
+      "(e.g. zipWithUniqueId) or use cosinePairs/lshNearDupPairs, which " +
+      "accept any key type")
     val unit = withUnitNorm(vectors.select(col(idCol), col(embCol)), embCol)
       .select(col(idCol).as("id"), col("unit")).persist()
     try {

@@ -101,12 +101,17 @@ final class TableIO(val root: String,
 
   def fileExists(file: String): Boolean = fs.exists(new Path(file))
 
-  /** Total bytes of a directory's files (−1 if missing) — one FS listing,
-   * no data read. Sizes the hybrid sketch-probe decision. */
+  /** Total bytes of a directory's COMMITTED files (−1 if missing) — one FS
+   * listing, no data read. Sizes the hybrid sketch-probe decision, so
+   * `_tmp_*` leftovers from killed task attempts must not count: an
+   * orphaned attempt file would silently push the sketch past the
+   * broadcast threshold and pick the slower routed regime. */
   def dirBytes(dir: String): Long = {
     val path = new Path(dir)
     if (!fs.isDirectory(path)) -1L
-    else fs.listStatus(path).map(_.getLen).sum
+    else fs.listStatus(path)
+      .filterNot(_.getPath.getName.startsWith("_tmp_"))
+      .map(_.getLen).sum
   }
 
   /** `[{"file":…,"bytes":…}]` of a generation dir's parquet parts — lineage

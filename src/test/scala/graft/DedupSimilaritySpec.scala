@@ -332,4 +332,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(meta.columns.toSeq ==
       Seq("doc_id", "media_ref", "mime", "n_bytes", "content_md5"))
   }
+
+  test("connectedComponents fails loud on non-convergence; converges on a long chain") {
+    val s = SparkSuite.spark
+    import s.implicits._
+    // a 30-node path: diameter 29 — min-label needs ~29 rounds
+    val chain = (0 until 29).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val e = intercept[RuntimeException](
+      Dedup.connectedComponents(chain, maxIter = 3).count())
+    assert(e.getMessage.contains("did not converge"),
+      s"expected a loud non-convergence error, got: ${e.getMessage}")
+    val labels = Dedup.connectedComponents(chain, maxIter = 40)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 30 && labels.values.forall(_ == 0L),
+      "one chain must collapse to a single min-id cluster")
+  }
+
+  test("ivfTopK rejects non-integral id columns with a direct message") {
+    val s = SparkSuite.spark
+    import s.implicits._
+    val strKeyed = Seq(("a", Seq(1.0f, 0.0f)), ("b", Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.ivfTopK(strKeyed, k = 1))
+    assert(e.getMessage.contains("integral id column"))
+  }
 }

@@ -224,4 +224,20 @@ class SketchSpec extends AnyFunSuite {
       shards.unpersist()
     }
   }
+
+  test("geometry ceilings fail loud instead of overflowing at serialize time") {
+    // bloom: the old 2^37-BIT ceiling admitted shards whose serialize()
+    // byte count overflowed Int and crashed the checkpoint write
+    val eb = intercept[IllegalArgumentException](
+      BloomSketch.create(3_000_000_000L, 0.01))
+    assert(eb.getMessage.contains("sketchShards"))
+    // the largest admissible geometry round-trips
+    val big = BloomSketch.create(1_500_000_000L, 0.01)
+    assert(big.bits.length <= BloomSketch.MaxWords)
+    // cuckoo: Int truncation used to wrap >=3.6e9 items to an empty table
+    val ec = intercept[IllegalArgumentException](CuckooFilter.create(4_000_000_000L))
+    assert(ec.getMessage.contains("sketchShards"))
+    val cf = CuckooFilter.create(900_000_000L)
+    assert(cf.numBuckets > 0 && cf.table.length.toLong == cf.numBuckets.toLong * 4)
+  }
 }

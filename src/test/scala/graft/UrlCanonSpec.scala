@@ -99,6 +99,22 @@ class UrlCanonSpec extends AnyFunSuite {
     }
   }
 
+  test("dot segments normalize at PARSE time (url crate Url::parse semantics)") {
+    // absolute-href and relative-href routes to the same resource must
+    // canonicalize to ONE seen-set key
+    assert(UrlCanon.canonicalize("http://e.com/a/../b").contains("http://e.com/b"))
+    assert(UrlCanon.canonicalize("http://e.com/a/./b").contains("http://e.com/a/b"))
+    assert(UrlCanon.canonicalize("http://e.com/a/..").contains("http://e.com/"))
+    assert(UrlCanon.canonicalize("http://e.com/.").contains("http://e.com/"))
+    // dotted but NOT a dot segment: kept verbatim
+    assert(UrlCanon.canonicalize("http://e.com/.well-known/x")
+      .contains("http://e.com/.well-known/x"))
+    assert(UrlCanon.canonicalize("http://e.com/a.b/c..d").contains("http://e.com/a.b/c..d"))
+    // equivalence with the relative-resolution route
+    assert(UrlCanon.canonicalize("http://e.com/a/../b") ==
+      UrlCanon.resolve("http://e.com/a/page.html", "../b").flatMap(UrlCanon.canonicalize))
+  }
+
   test("resolve: relative href against base (html.rs:122-144)") {
     assert(UrlCanon.resolve("http://ref.ref", "/test").contains("http://ref.ref/test"))
     assert(UrlCanon.resolve("http://ref.ref/dir/page.html", "x.html")
