@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNWRAPPED (no "[info] " prefix):
+// Bench/Verify print one machine-readable JSON line that the driver
+// parses from the sbt output — BENCH_r{1..4}.json all show `parsed:
+// null` because sbt's default LoggedOutput prefixed it.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,7 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g default: `sbt test` runs 16 suites in ONE forked JVM whose live set
+  // accumulates (cached tables, codegen/plan caches, RocksDB state); at 8g
+  // a contended run OOM'd in the tail suite. The box has 125 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   // Throughput GC + modest heap measured fastest for this allocation-heavy
   // pipeline (small eden stays cache-resident; see BENCH.md §GC):
   "-XX:+UseParallelGC",

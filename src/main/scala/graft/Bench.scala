@@ -54,6 +54,9 @@ object Bench {
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // survive co-tenant/GC stalls >120 s: local-mode BlockManager re-registration
+      // is impossible (cluster-only endpoint), so expiry would kill the JVM (exit 56)
+      .config("spark.storage.blockManagerHeartbeatTimeoutMs", "600000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

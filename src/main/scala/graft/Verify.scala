@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // survive co-tenant/GC stalls >120 s: local-mode BlockManager re-registration
+      // is impossible (cluster-only endpoint), so expiry would kill the JVM (exit 56)
+      .config("spark.storage.blockManagerHeartbeatTimeoutMs", "600000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -227,17 +227,31 @@ class SketchSpec extends AnyFunSuite {
 
   test("geometry ceilings fail loud instead of overflowing at serialize time") {
     // bloom: the old 2^37-BIT ceiling admitted shards whose serialize()
-    // byte count overflowed Int and crashed the checkpoint write
+    // byte count overflowed Int and crashed the checkpoint write. The
+    // require fires BEFORE allocation, so the intercepts are free.
     val eb = intercept[IllegalArgumentException](
       BloomSketch.create(3_000_000_000L, 0.01))
     assert(eb.getMessage.contains("sketchShards"))
-    // the largest admissible geometry round-trips
-    val big = BloomSketch.create(1_500_000_000L, 0.01)
+    // every admissible geometry's serialized byte count fits an Int (and a
+    // ByteBuffer) BY ARITHMETIC — asserted on the constant, not by actually
+    // allocating a MaxWords sketch: the original form of this test created
+    // two ~2.1 GiB arrays, and on a heap already carrying a whole session's
+    // suites that triggered a minutes-long full-GC storm — long enough for
+    // HeartbeatReceiver to expire the local executor (>120 s without a
+    // heartbeat), whose re-registration DOESN'T EXIST in local mode
+    // (CoarseGrainedScheduler endpoint is cluster-only) ⇒ every later
+    // heartbeat fails ⇒ Spark kills the whole test JVM with exit 56.
+    // exact layout: BloomSketch.serialize = 8 + words*8; BloomSeenShard
+    // wraps it in 1+4+8 more — at MaxWords that is 2147483645, 2 to spare
+    assert(BloomSketch.MaxWords.toLong * 8 + 8 + 13 <= Int.MaxValue.toLong)
+    // a large-but-modest geometry allocates, serializes and deserializes
+    val big = BloomSketch.create(100_000_000L, 0.01) // ~120 MB
     assert(big.bits.length <= BloomSketch.MaxWords)
+    assert(BloomSketch.deserialize(big.serialize()).bits.length == big.bits.length)
     // cuckoo: Int truncation used to wrap >=3.6e9 items to an empty table
     val ec = intercept[IllegalArgumentException](CuckooFilter.create(4_000_000_000L))
     assert(ec.getMessage.contains("sketchShards"))
-    val cf = CuckooFilter.create(900_000_000L)
+    val cf = CuckooFilter.create(50_000_000L) // ~120 MB of shorts
     assert(cf.numBuckets > 0 && cf.table.length.toLong == cf.numBuckets.toLong * 4)
   }
 }
