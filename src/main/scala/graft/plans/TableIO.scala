@@ -284,14 +284,17 @@ final class TableIO(val root: String,
 
   /** GC sketch shard dirs for generations < `keepFrom` (called after the
    * commit fence — the newest committed generation's files are never
-   * dropped, so resume always finds them). */
+   * dropped, so resume always finds them). Non-numeric suffixes (e.g. an
+   * orphaned `gen=K_retract` checkpoint from a crash mid-retraction whose
+   * resume no longer retracts at K) are skipped, not parsed — one leftover
+   * dir must not fail every later generation's GC. */
   def dropSketchesBefore(keepFrom: Int): Unit = {
     val sketchRoot = p("sketch")
-    listNames(sketchRoot).foreach { name =>
-      if (name.startsWith("gen=")) {
-        val g = name.stripPrefix("gen=").toInt
-        if (g < keepFrom) fs.delete(new Path(sketchRoot, name), true)
-      }
+    val numbered = "gen=(\\d+)".r
+    listNames(sketchRoot).foreach {
+      case name @ numbered(g) =>
+        if (g.toInt < keepFrom) fs.delete(new Path(sketchRoot, name), true)
+      case _ => ()
     }
   }
 }

@@ -86,4 +86,21 @@ class TieredCompactionSpec extends AnyFunSuite {
     assert(io.committedMerges("seen") == Seq((0, 1)))
     assert(spark.read.parquet(io.deltaDirs("seen", 1): _*).count() == 1)
   }
+
+  test("sketch GC tolerates non-numeric dir names (orphaned retraction checkpoint)") {
+    // a crash between a retraction's sketch checkpoint and its cleanup,
+    // resumed with a config that no longer retracts at that generation,
+    // leaves sketch/gen=K_retract behind forever — GC must skip it, not
+    // throw NumberFormatException on every later generation
+    val dir = java.nio.file.Files.createTempDirectory("graft-gc").toString
+    val io = new TableIO(dir)
+    val fs = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(fs.resolve("sketch/gen=00001"))
+    java.nio.file.Files.createDirectories(fs.resolve("sketch/gen=00002_retract"))
+    java.nio.file.Files.createDirectories(fs.resolve("sketch/gen=00003"))
+    io.dropSketchesBefore(3)
+    assert(!io.dirExists(io.sketchDir(1)))                    // numeric, old: dropped
+    assert(io.dirExists(io.sketchDir(2) + "_retract"))        // suffixed: skipped
+    assert(io.dirExists(io.sketchDir(3)))                     // numeric, current: kept
+  }
 }
