@@ -105,8 +105,27 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
+    // PER-ROUND LINEAGE CUT (load-bearing, the classic iterative-algorithm
+    // requirement — GraphFrames does the same): each round's plan references
+    // the previous round's labels TWICE (self + join), so without a cut BOTH
+    // representations of the computation grow without bound —
+    //  (a) the logical tree Spark STRINGIFIES doubles per round even when
+    //      execution reads a cache (InMemoryRelation innerChildren nest the
+    //      cached child plan): AQE renders that string per job (onUpdatePlan
+    //      ⇒ SQL-listener event, UI on or off) and a ~30-round run OOMs the
+    //      DRIVER building one explain string;
+    //  (b) the serialized RDD graph in every task binary deepens per round,
+    //      and its recursive Java deserialization overflows the EXECUTOR
+    //      stack at a few dozen rounds (observed as StackOverflowError in
+    //      task deser at round ~30, killing the local executor).
+    // localCheckpoint(eager) truncates both: the round's plan becomes a
+    // depth-1 LogicalRDD over materialized blocks. Trade (documented): a
+    // lost executor can no longer recompute those blocks — the CC JOB fails
+    // and is simply re-run (labels are derived state, nothing durable is
+    // lost); a deployment that prefers recomputability over re-runs can set
+    // a checkpoint dir and swap in reliable .checkpoint() at the same seam.
     var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).persist()
+      .withColumn("label", col("node")).localCheckpoint(true)
     try {
       var changed = 1L
       var i = 0
@@ -122,12 +141,13 @@ object Dedup {
             lit(null).cast(labelType).as("prev"))
         val self = labels.select(col("node"), col("label"), col("label").as("prev"))
         val obs = org.apache.spark.sql.Observation()
+        // the eager localCheckpoint IS the round's single action; the
+        // observation rides it (metrics post when the internal job ends)
         val next = self.unionByName(viaNeighbours)
           .groupBy("node").agg(min("label").as("label"), min("prev").as("prev"))
           .observe(obs,
             sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)).as("chg"))
-          .select("node", "label").persist()
-        next.count() // the round's single action
+          .select("node", "label").localCheckpoint(true)
         changed = Option(obs.get.apply("chg")).map(_.asInstanceOf[Long]).getOrElse(0L)
         labels.unpersist()
         labels = next
