@@ -22,6 +22,10 @@ import org.apache.spark.sql.SparkSession
  *                  sketches at or under BYTES broadcast + probe via the
  *                  codegen expression, larger ones take the routed shard
  *                  probe; 0 forces routed — default 64 MiB)
+ *                  [--fetch-window=N]  (http mode: async requests in flight
+ *                  per fetch partition — the latency-bound throughput knob;
+ *                  per-host concurrency stays ≤ perHostCap cluster-wide.
+ *                  1 = strictly sequential; default 16)
  *                  [--carry-host=true|false]  (carry `host` through the global
  *                  dedup shuffle, or re-derive it after by char-scan. Default
  *                  true — ~15% faster when shuffle ≈ memcpy (single box,
@@ -47,7 +51,10 @@ object CrawlMain {
     val nSeeds = if (pos.length > 5) pos(5).toInt else 5
     val fetchMode = pos.lift(6) match {
       case Some("gen")  => graft.operators.FetchMode.Generator
-      case Some("http") => graft.operators.FetchMode.Http() // identity rewrite: the real web
+      case Some("http") => graft.operators.FetchMode.Http( // identity rewrite: the real web
+        fetchWindow = flags.collectFirst {
+          case f if f.startsWith("--fetch-window=") => f.drop(15).toInt }
+          .getOrElse(16))
       case _            => graft.operators.FetchMode.CorpusJoin
     }
 
@@ -60,6 +67,8 @@ object CrawlMain {
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // survive stalls >120 s in local mode (see SparkSuite/Bench note)
+      .config("spark.storage.blockManagerHeartbeatTimeoutMs", "600000")
     // extra confs for experiments: SPARK_GRAFT_CONF="k=v;k2=v2"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })

@@ -55,6 +55,8 @@ object ScalingBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.ui.enabled", "false")
+      // survive stalls >120 s in local mode (see SparkSuite/Bench note)
+      .config("spark.storage.blockManagerHeartbeatTimeoutMs", "600000")
     if (isCluster) {
       val coresPerExec =
         master.stripPrefix("local-cluster[").stripSuffix("]").split(",")(1).trim.toInt
@@ -262,7 +264,13 @@ object ScalingBench {
    * threads share the same cores, and every page pays a real HTTP
    * round-trip that the Generator mode does not. Knobs:
    * SPARK_GRAFT_HTTP_HOSTS (corpus hosts, default 60000),
-   * SPARK_GRAFT_HTTP_SRV (server threads, default 16). */
+   * SPARK_GRAFT_HTTP_SRV (server threads, default 16),
+   * SPARK_GRAFT_HTTP_WINDOW (async in-flight requests per fetch partition,
+   * default 16; 1 = the old synchronous path),
+   * SPARK_GRAFT_HTTP_DELAY_MS (server-side sleep per request, default 0 —
+   * emulates WAN RTT so the latency-bound regime, where the window is the
+   * whole ballgame, is measurable on loopback; raise SPARK_GRAFT_HTTP_SRV
+   * accordingly, the sleep occupies a server thread). */
   private def httpPath(): Unit = {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -272,10 +280,14 @@ object ScalingBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.ui.enabled", "false")
+      // survive stalls >120 s in local mode (see SparkSuite/Bench note)
+      .config("spark.storage.blockManagerHeartbeatTimeoutMs", "600000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val hosts = sys.env.getOrElse("SPARK_GRAFT_HTTP_HOSTS", "60000").toInt
+    val window = sys.env.getOrElse("SPARK_GRAFT_HTTP_WINDOW", "16").toInt
+    val delayMs = sys.env.getOrElse("SPARK_GRAFT_HTTP_DELAY_MS", "0").toLong
     val corpus = CorpusConfig(seed = 42L, numHosts = hosts, maxPages = hosts / 2)
     // without this the sun HttpServer's two-segment response (headers, then
     // body) trips Nagle + delayed ACK: ~40 ms per request, ~500 urls/s no
@@ -300,6 +312,7 @@ object ScalingBench {
         }
       }
       val bytes = body.getBytes("UTF-8")
+      if (delayMs > 0) Thread.sleep(delayMs) // emulated WAN RTT
       ex.sendResponseHeaders(status, bytes.length.toLong)
       ex.getResponseBody.write(bytes)
       ex.close()
@@ -316,7 +329,7 @@ object ScalingBench {
     val cfg = CrawlConfig(corpus = corpus, perHostCap = 200,
       bloomExpectedItems = 1L << 20,
       fetchMode = graft.operators.FetchMode.Http(rewrite, connectTimeoutMs = 5000,
-        requestTimeoutMs = 20000))
+        requestTimeoutMs = 20000, fetchWindow = window))
 
     // small warmup through the same path (JIT on client + server)
     {
@@ -342,6 +355,7 @@ object ScalingBench {
     val sec = (System.nanoTime() - t0) / 1e9
     println(s"""{"bench":"http_steady_state","cpus":$cpus,""" +
       s""""server_threads":$srvThreads,"hosts":$hosts,""" +
+      s""""fetch_window":$window,"server_delay_ms":$delayMs,""" +
       s""""fetched":$fetched,"ok":$ok,"discovered":$discovered,""" +
       s""""wall_sec":$sec,"urls_fetched_per_sec":${fetched / sec}}""")
     server.stop(0)

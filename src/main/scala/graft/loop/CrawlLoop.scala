@@ -147,12 +147,12 @@ object CrawlLoop {
         // (diverging from the sequential oracle, which knows delays a
         // priori). Filtered hosts are never contacted, as everywhere.
         cfg.fetchMode match {
-          case graft.operators.FetchMode.Http(rw, cTo, rTo) if cfg.useRobots =>
+          case graft.operators.FetchMode.Http(rw, cTo, rTo, w) if cfg.useRobots =>
             val f = cfg.filter
             val keepSeed = udf((h: String) => f.keep(if (h == null) "" else h))
             FrontierStep.fetchRobotsRules(
                 seedDf.filter(keepSeed(col("host"))).select("host")
-                  .distinct().as[String], rw, cTo, rTo)
+                  .distinct().as[String], rw, cTo, rTo, w)
               .filter(col("definitive")).drop("definitive") // transient robots failures re-fetch at candidacy
               .write.mode("overwrite").parquet(io.genDir("robots", 0))
           case _ => ()

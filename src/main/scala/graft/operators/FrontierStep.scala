@@ -19,11 +19,19 @@ object FetchMode {
   case object CorpusJoin extends FetchMode
   case object Generator extends FetchMode
   /** Production path: real sockets via HttpFetcher (one pooled client per
-   * partition), HTML anchor extraction, fused resolve+canonicalize. `rewrite`
+   * executor), HTML anchor extraction, fused resolve+canonicalize. `rewrite`
    * maps a task URL to the URL actually fetched (identity in production; the
-   * loopback golden test maps corpus hosts to 127.0.0.1:port). */
+   * loopback golden test maps corpus hosts to 127.0.0.1:port).
+   * `fetchWindow` = async requests in flight per fetch partition
+   * (HttpFetcher.fetchWindowed): a real crawl is latency-bound, and a
+   * synchronous send per task slot caps throughput at cores/RTT; the window
+   * restores it to ≈ window×partitions/RTT. Per-host concurrency stays
+   * ≤ perHostCap cluster-wide (the politeness cap bounds a host's selected
+   * tasks per generation — the reference's prefetch-5 shape). 1 ⇒ strictly
+   * sequential. */
   final case class Http(rewrite: String => String = identity,
-      connectTimeoutMs: Int = 5000, requestTimeoutMs: Int = 20000) extends FetchMode
+      connectTimeoutMs: Int = 5000, requestTimeoutMs: Int = 20000,
+      fetchWindow: Int = 16) extends FetchMode
 }
 
 /** Engine configuration for the BSP crawl loop. */
@@ -229,13 +237,15 @@ object FrontierStep {
           .persist()
       case FetchMode.Generator =>
         fetchable.withColumn("outcome", classify(col("url")))
-      case FetchMode.Http(rewrite, cTo, rTo) =>
+      case FetchMode.Http(rewrite, cTo, rTo, window) =>
         // production shape: fetch + extract + normalise as ONE mapPartitions
-        // (one pooled client per partition, downloader.rs:13-21); the page
-        // body never leaves the partition — only the per-page-deduped
-        // canonical (url, host) pairs, the outcome, and (when archiving) the
-        // parsed span sequence do. PERSISTED: the outcomes / links / rejects
-        // branches must not re-fetch the network.
+        // (one pooled client per executor, downloader.rs:13-21; up to
+        // `window` requests pipelined in flight per partition — see
+        // FetchMode.Http scaladoc); the page body never leaves the
+        // partition — only the per-page-deduped canonical (url, host)
+        // pairs, the outcome, and (when archiving) the parsed span sequence
+        // do. PERSISTED: the outcomes / links / rejects branches must not
+        // re-fetch the network.
         val rw = rewrite
         val doArchive = cfg.archiveFetched
         fetchable
@@ -243,8 +253,9 @@ object FrontierStep {
           .as[graft.model.Task]
           .mapPartitions { it =>
             lazy val client = graft.sources.HttpFetcher.sharedClient(cTo)
-            it.map { tk =>
-              val r = graft.sources.HttpFetcher.fetchOne(client, rw(tk.url), rTo)
+            graft.sources.HttpFetcher.fetchWindowed(
+                client, it, (tk: graft.model.Task) => rw(tk.url), rTo, window)
+              .map { case (tk, r) =>
               val (outcome, links, spans, cov) =
                 if (r.outcome != Outcome.Ok) (r.outcome, Nil, Nil, 0.0)
                 else graft.core.UrlCanon.decodeUtf8(r.body) match {
@@ -375,7 +386,7 @@ object FrontierStep {
     val robotsFiltered =
       if (!cfg.useRobots) hostFiltered
       else cfg.fetchMode match {
-        case FetchMode.Http(rewrite, cTo, rTo) =>
+        case FetchMode.Http(rewrite, cTo, rTo, window) =>
           // REAL robots over the wire, cached across generations: only hosts
           // missing from the durable robots cache get a GET this generation,
           // and only hosts that SURVIVED the white/blacklist — the crawler
@@ -388,7 +399,7 @@ object FrontierStep {
             case Some(c) => hostsNeeded.join(c.select("host"), Seq("host"), "left_anti")
             case None    => hostsNeeded
           }
-          val fetchedRules = FrontierStep.fetchRobotsRules(missingHosts.as[String], rw, cTo, rTo)
+          val fetchedRules = FrontierStep.fetchRobotsRules(missingHosts.as[String], rw, cTo, rTo, window)
             .persist() // read twice: the filter join below + the cache append
           persistedFrames += fetchedRules
           // only DEFINITIVE answers enter the durable cache — a transient
@@ -528,22 +539,23 @@ object FrontierStep {
    * rules and Crawl-delay, since cached hosts are never re-fetched. */
   def fetchRobotsRules(hosts: org.apache.spark.sql.Dataset[String],
       rewrite: String => String, connectTimeoutMs: Int,
-      requestTimeoutMs: Int): DataFrame = {
+      requestTimeoutMs: Int, window: Int = 16): DataFrame = {
     val spark = hosts.sparkSession
     import spark.implicits._
     hosts.mapPartitions { it =>
       lazy val client = graft.sources.HttpFetcher.sharedClient(connectTimeoutMs)
-      it.map { h =>
-        val r = graft.sources.HttpFetcher.fetchOne(
-          client, rewrite(s"http://$h/robots.txt"), requestTimeoutMs)
-        val rules =
-          if (r.outcome != Outcome.Ok) graft.core.RobotsRules.allowAll
-          else graft.core.UrlCanon.decodeUtf8(r.body)
-            .map(graft.core.RobotsRules.parse)
-            .getOrElse(graft.core.RobotsRules.allowAll)
-        (h, rules.disallows, rules.crawlDelay.getOrElse(0),
-          r.outcome != Outcome.Reject)
-      }
+      graft.sources.HttpFetcher.fetchWindowed(
+          client, it, (h: String) => rewrite(s"http://$h/robots.txt"),
+          requestTimeoutMs, window)
+        .map { case (h, r) =>
+          val rules =
+            if (r.outcome != Outcome.Ok) graft.core.RobotsRules.allowAll
+            else graft.core.UrlCanon.decodeUtf8(r.body)
+              .map(graft.core.RobotsRules.parse)
+              .getOrElse(graft.core.RobotsRules.allowAll)
+          (h, rules.disallows, rules.crawlDelay.getOrElse(0),
+            r.outcome != Outcome.Reject)
+        }
     }.toDF("host", "disallows", "delay", "definitive")
   }
 }

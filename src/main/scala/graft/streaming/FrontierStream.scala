@@ -136,13 +136,14 @@ object FrontierStream {
    * requeue. */
   def fetchExtractStreamHttpFull(spark: SparkSession, tasks: Dataset[Task],
       rewrite: String => String, connectTimeoutMs: Int = 5000,
-      requestTimeoutMs: Int = 20000): DataFrame = {
+      requestTimeoutMs: Int = 20000, fetchWindow: Int = 16): DataFrame = {
     import spark.implicits._
     val rw = rewrite
     tasks.mapPartitions { it =>
       lazy val client = graft.sources.HttpFetcher.sharedClient(connectTimeoutMs)
-      it.flatMap { tk =>
-        val r = graft.sources.HttpFetcher.fetchOne(client, rw(tk.url), requestTimeoutMs)
+      graft.sources.HttpFetcher.fetchWindowed(
+          client, it, (tk: Task) => rw(tk.url), requestTimeoutMs, fetchWindow)
+        .flatMap { case (tk, r) =>
         val outcome = Iterator.single(
           ("outcome", tk.url, tk.host, r.outcome, r.error_kind))
         val candidates =
@@ -169,9 +170,9 @@ object FrontierStream {
    * when the deployment needs them). */
   def fetchExtractStreamHttp(spark: SparkSession, tasks: Dataset[Task],
       rewrite: String => String, connectTimeoutMs: Int = 5000,
-      requestTimeoutMs: Int = 20000): DataFrame =
+      requestTimeoutMs: Int = 20000, fetchWindow: Int = 16): DataFrame =
     fetchExtractStreamHttpFull(spark, tasks, rewrite, connectTimeoutMs,
-        requestTimeoutMs)
+        requestTimeoutMs, fetchWindow)
       .filter(col("row_kind") === "candidate")
       .select("url", "host")
 

@@ -91,6 +91,69 @@ class FetcherSpec extends AnyFunSuite {
     }
   }
 
+  test("windowed fetch == sequential fetch, row for row, across the error table") {
+    // the async pipelined path must be OBSERVATIONALLY identical to the
+    // sequential one: same results in the same (submission) order, same
+    // outcome mapping for ok / 404 / connect-refused / malformed URLs
+    withServer(Map(
+      "/a" -> (200, "<html>A</html>"),
+      "/b" -> (200, "<html>B page</html>"),
+      "/slow" -> (200, "finally")
+    )) { port =>
+      val client = HttpFetcher.newClient(2000)
+      val urls = Seq(
+        s"http://127.0.0.1:$port/a",
+        s"http://127.0.0.1:$port/missing", // 404
+        "http://127.0.0.1:1/x",            // refused
+        s"http://127.0.0.1:$port/b",
+        "http://[not-a-host/",             // malformed
+        s"http://127.0.0.1:$port/slow")
+      val sequential = urls.map(HttpFetcher.fetchOne(client, _, 5000))
+      for (window <- Seq(1, 3, 64)) {
+        val windowed = HttpFetcher
+          .fetchWindowed(client, urls.iterator, identity[String], 5000, window)
+          .toVector
+        assert(windowed.map(_._1) == urls, s"order broke at window=$window")
+        windowed.map(_._2).zip(sequential).foreach { case (w, s) =>
+          assert(w.url == s.url && w.status == s.status &&
+            w.outcome == s.outcome && w.error_kind == s.error_kind &&
+            java.util.Arrays.equals(w.body, s.body),
+            s"result diverged at window=$window for ${s.url}")
+        }
+      }
+    }
+  }
+
+  test("windowed fetch actually overlaps requests (pipelining, not batching)") {
+    // 8 requests against a server that sleeps 150 ms each, window 8: the
+    // wall must be well under the 1.2 s a sequential drain would take. The
+    // server handles requests on its own pool, so the only serialization
+    // left would be the client's.
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      Thread.sleep(150)
+      val bytes = "ok".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpFetcher.newClient(2000)
+      val urls = (0 until 8).map(i => s"http://127.0.0.1:$port/p$i")
+      // warm the connection pool + JIT outside the timed window
+      HttpFetcher.fetchOne(client, urls.head, 5000)
+      val t0 = System.nanoTime()
+      val rs = HttpFetcher
+        .fetchWindowed(client, urls.iterator, identity[String], 5000, 8).toVector
+      val wallMs = (System.nanoTime() - t0) / 1e6
+      assert(rs.forall(_._2.outcome == Outcome.Ok))
+      assert(wallMs < 900, f"8×150 ms with window=8 took $wallMs%.0f ms — not pipelined")
+    } finally server.stop(0)
+  }
+
   test("served corpus HTML round-trips exactly the generator hrefs") {
     val cfg = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24)
     for (h <- 0 until 4; p <- 0 until math.min(3, CorpusGen.pageCount(cfg, h))) {
