@@ -26,6 +26,11 @@ import org.apache.spark.sql.SparkSession
  *                  per fetch partition — the latency-bound throughput knob;
  *                  per-host concurrency stays ≤ perHostCap cluster-wide.
  *                  1 = strictly sequential; default 16)
+ *                  [--max-body-bytes=N]  (http mode: page bodies read at most
+ *                  N bytes then truncate-at-cap with error_kind=Truncated —
+ *                  bounds executor memory against huge/hostile responses;
+ *                  robots.txt always caps at 512 KiB. 0 = unbounded, the
+ *                  reference's exact read_to_end behavior. Default 16 MiB)
  *                  [--carry-host=true|false]  (carry `host` through the global
  *                  dedup shuffle, or re-derive it after by char-scan. Default
  *                  true — ~15% faster when shuffle ≈ memcpy (single box,
@@ -54,7 +59,10 @@ object CrawlMain {
       case Some("http") => graft.operators.FetchMode.Http( // identity rewrite: the real web
         fetchWindow = flags.collectFirst {
           case f if f.startsWith("--fetch-window=") => f.drop(15).toInt }
-          .getOrElse(16))
+          .getOrElse(16),
+        maxBodyBytes = flags.collectFirst {
+          case f if f.startsWith("--max-body-bytes=") => f.drop(17).toLong }
+          .getOrElse(graft.sources.HttpFetcher.DefaultMaxBodyBytes))
       case _            => graft.operators.FetchMode.CorpusJoin
     }
 

@@ -147,7 +147,7 @@ object CrawlLoop {
         // (diverging from the sequential oracle, which knows delays a
         // priori). Filtered hosts are never contacted, as everywhere.
         cfg.fetchMode match {
-          case graft.operators.FetchMode.Http(rw, cTo, rTo, w) if cfg.useRobots =>
+          case graft.operators.FetchMode.Http(rw, cTo, rTo, w, _) if cfg.useRobots =>
             val f = cfg.filter
             val keepSeed = udf((h: String) => f.keep(if (h == null) "" else h))
             FrontierStep.fetchRobotsRules(

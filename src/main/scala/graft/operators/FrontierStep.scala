@@ -28,10 +28,14 @@ object FetchMode {
    * restores it to ≈ window×partitions/RTT. Per-host concurrency stays
    * ≤ perHostCap cluster-wide (the politeness cap bounds a host's selected
    * tasks per generation — the reference's prefetch-5 shape). 1 ⇒ strictly
-   * sequential. */
+   * sequential. `maxBodyBytes` caps every page body read (truncate-at-cap,
+   * HttpFetcher bounded-bodies contract; `<= 0` = unbounded = the
+   * reference's exact behavior); robots fetches use the fixed 512 KiB
+   * robots convention regardless. */
   final case class Http(rewrite: String => String = identity,
       connectTimeoutMs: Int = 5000, requestTimeoutMs: Int = 20000,
-      fetchWindow: Int = 16) extends FetchMode
+      fetchWindow: Int = 16,
+      maxBodyBytes: Long = graft.sources.HttpFetcher.DefaultMaxBodyBytes) extends FetchMode
 }
 
 /** Engine configuration for the BSP crawl loop. */
@@ -237,7 +241,7 @@ object FrontierStep {
           .persist()
       case FetchMode.Generator =>
         fetchable.withColumn("outcome", classify(col("url")))
-      case FetchMode.Http(rewrite, cTo, rTo, window) =>
+      case FetchMode.Http(rewrite, cTo, rTo, window, maxBody) =>
         // production shape: fetch + extract + normalise as ONE mapPartitions
         // (one pooled client per executor, downloader.rs:13-21; up to
         // `window` requests pipelined in flight per partition — see
@@ -254,7 +258,7 @@ object FrontierStep {
           .mapPartitions { it =>
             lazy val client = graft.sources.HttpFetcher.sharedClient(cTo)
             graft.sources.HttpFetcher.fetchWindowed(
-                client, it, (tk: graft.model.Task) => rw(tk.url), rTo, window)
+                client, it, (tk: graft.model.Task) => rw(tk.url), rTo, window, maxBody)
               .map { case (tk, r) =>
               val (outcome, links, spans, cov) =
                 if (r.outcome != Outcome.Ok) (r.outcome, Nil, Nil, 0.0)
@@ -386,7 +390,7 @@ object FrontierStep {
     val robotsFiltered =
       if (!cfg.useRobots) hostFiltered
       else cfg.fetchMode match {
-        case FetchMode.Http(rewrite, cTo, rTo, window) =>
+        case FetchMode.Http(rewrite, cTo, rTo, window, _) =>
           // REAL robots over the wire, cached across generations: only hosts
           // missing from the durable robots cache get a GET this generation,
           // and only hosts that SURVIVED the white/blacklist — the crawler
@@ -546,7 +550,9 @@ object FrontierStep {
       lazy val client = graft.sources.HttpFetcher.sharedClient(connectTimeoutMs)
       graft.sources.HttpFetcher.fetchWindowed(
           client, it, (h: String) => rewrite(s"http://$h/robots.txt"),
-          requestTimeoutMs, window)
+          requestTimeoutMs, window,
+          // robots bodies cap at the conventional 512 KiB (parse the prefix)
+          graft.sources.HttpFetcher.RobotsMaxBodyBytes)
         .map { case (h, r) =>
           val rules =
             if (r.outcome != Outcome.Ok) graft.core.RobotsRules.allowAll

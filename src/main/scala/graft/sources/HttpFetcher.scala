@@ -40,6 +40,22 @@ final case class FetchResult(url: String, status: Int, body: Array[Byte],
  * FetchResult — `join()` in the drain loop can never throw a transport
  * error).
  *
+ * **Bounded bodies** (deliberate divergence from the reference, which
+ * `read_to_end`s unbounded — downloader.rs:30-37): every response body is
+ * read through a capped subscriber that stops consuming at `maxBodyBytes`
+ * and cancels the stream. Unbounded buffering does not survive scale — with
+ * `window` requests in flight per partition, one executor holds up to
+ * window × taskSlots bodies at once, so a handful of multi-GB (or hostile)
+ * responses OOMs it. A 2xx body that hit the cap is TRUNCATED, not failed:
+ * outcome stays Ok and `error_kind = "Truncated"` marks it (the tolerant
+ * HTML tokenizer parses a prefix fine; the batch outcome table derives
+ * error_kind from outcome so batch goldens are unaffected, while the
+ * streaming outcome feed carries the marker through). Robots fetches use
+ * the conventional 512 KiB cap (Google's documented robots.txt limit —
+ * parse the first 500 KiB); pages default to 16 MiB, CrawlMain
+ * `--max-body-bytes` overrides, `<= 0` means unbounded (the reference's
+ * exact behavior, for strict-parity runs).
+ *
  * Exercised against real sockets by FetcherSpec (error mapping, the
  * reference's mockito analogue downloader.rs:54-88; windowed≡sequential
  * equality) and by the GoldenCrawlSpec loopback-HTTP crawl (FetchMode.Http),
@@ -64,6 +80,61 @@ object HttpFetcher {
   def sharedClient(connectTimeoutMs: Int): java.net.http.HttpClient =
     shared.computeIfAbsent(connectTimeoutMs, newClient(_))
 
+  /** Default page-body cap (16 MiB; see the class doc's bounded-bodies
+   * contract). `<= 0` anywhere a cap is taken means unbounded. */
+  val DefaultMaxBodyBytes: Long = 16L * 1024 * 1024
+  /** robots.txt cap — the conventional 512 KiB limit (Google's documented
+   * robots.txt size: rules beyond the first 500 KiB are ignored). */
+  val RobotsMaxBodyBytes: Long = 512L * 1024
+
+  /** Body subscriber that buffers at most `cap` bytes, then cancels the
+   * stream. Completes with (bytes, hitCap). Reactive-stream onNext calls are
+   * serialized by the JDK client, so the accumulation needs no locking. */
+  private final class BoundedBody(cap: Long)
+      extends java.net.http.HttpResponse.BodySubscriber[(Array[Byte], Boolean)] {
+    private val done = new CompletableFuture[(Array[Byte], Boolean)]()
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var sub: java.util.concurrent.Flow.Subscription = _
+    private var finished = false
+    override def onSubscribe(s: java.util.concurrent.Flow.Subscription): Unit = {
+      sub = s; s.request(Long.MaxValue)
+    }
+    override def onNext(items: java.util.List[java.nio.ByteBuffer]): Unit =
+      if (!finished) {
+        val it = items.iterator()
+        while (!finished && it.hasNext) {
+          val bb = it.next()
+          val take = math.min(bb.remaining().toLong, cap - buf.size()).toInt
+          if (take > 0) {
+            val chunk = new Array[Byte](take)
+            bb.get(chunk)
+            buf.write(chunk, 0, take)
+          }
+          if (buf.size() >= cap && (bb.hasRemaining || it.hasNext)) {
+            // more bytes exist beyond the cap: truncate and stop the stream
+            finished = true
+            sub.cancel()
+            done.complete((buf.toByteArray, true))
+          }
+        }
+      }
+    override def onError(t: Throwable): Unit =
+      if (!finished) { finished = true; done.completeExceptionally(t) }
+    override def onComplete(): Unit =
+      if (!finished) { finished = true; done.complete((buf.toByteArray, false)) }
+    override def getBody: java.util.concurrent.CompletionStage[(Array[Byte], Boolean)] = done
+  }
+
+  /** Body handler enforcing the cap (`<= 0` ⇒ unbounded passthrough). */
+  private def boundedBody(cap: Long)
+      : java.net.http.HttpResponse.BodyHandler[(Array[Byte], Boolean)] =
+    (_: java.net.http.HttpResponse.ResponseInfo) =>
+      if (cap <= 0)
+        java.net.http.HttpResponse.BodySubscribers.mapping(
+          java.net.http.HttpResponse.BodySubscribers.ofByteArray(),
+          (b: Array[Byte]) => (b, false))
+      else new BoundedBody(cap)
+
   /** The reference's error table (errors.rs:89-183) over a Java exception —
    * shared verbatim by the sync and async paths. */
   private def failureResult(url: String, e: Throwable): FetchResult = e match {
@@ -80,22 +151,24 @@ object HttpFetcher {
     case other => throw other // programming error: don't swallow it
   }
 
-  private def statusResult(url: String, status: Int, body: Array[Byte]): FetchResult =
+  private def statusResult(url: String, status: Int,
+      body: (Array[Byte], Boolean)): FetchResult =
     if (status >= 200 && status < 300)
-      FetchResult(url, status, body, Outcome.Ok, "")
+      FetchResult(url, status, body._1, Outcome.Ok,
+        if (body._2) "Truncated" else "")
     else
       FetchResult(url, status, Array.emptyByteArray, Outcome.Err, "InvalidPage")
 
   /** GET one URL, mapping failures to the reference's outcome semantics.
    * Pure I/O + mapping — no Spark — so the error table is unit-testable. */
   def fetchOne(client: java.net.http.HttpClient, url: String,
-      requestTimeoutMs: Int): FetchResult =
+      requestTimeoutMs: Int,
+      maxBodyBytes: Long = DefaultMaxBodyBytes): FetchResult =
     try {
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofMillis(requestTimeoutMs.toLong))
         .GET().build()
-      val resp = client.send(req,
-        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      val resp = client.send(req, boundedBody(maxBodyBytes))
       statusResult(url, resp.statusCode(), resp.body())
     } catch { case e: Throwable => failureResult(url, e) }
 
@@ -103,12 +176,13 @@ object HttpFetcher {
    * (transport failures and malformed URLs land in the same outcome table
    * as fetchOne — bitwise-identical results, FetcherSpec-pinned). */
   def sendOne(client: java.net.http.HttpClient, url: String,
-      requestTimeoutMs: Int): CompletableFuture[FetchResult] =
+      requestTimeoutMs: Int,
+      maxBodyBytes: Long = DefaultMaxBodyBytes): CompletableFuture[FetchResult] =
     try {
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofMillis(requestTimeoutMs.toLong))
         .GET().build()
-      client.sendAsync(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      client.sendAsync(req, boundedBody(maxBodyBytes))
         .handle[FetchResult] { (resp, err) =>
           if (err != null) failureResult(url, err)
           else statusResult(url, resp.statusCode(), resp.body())
@@ -123,14 +197,14 @@ object HttpFetcher {
    * sequential. Lazy: nothing is sent until the caller pulls. */
   def fetchWindowed[A](client: java.net.http.HttpClient, items: Iterator[A],
       urlOf: A => String, requestTimeoutMs: Int,
-      window: Int): Iterator[(A, FetchResult)] = {
+      window: Int, maxBodyBytes: Long = DefaultMaxBodyBytes): Iterator[(A, FetchResult)] = {
     val w = math.max(1, window)
     val inFlight = new java.util.ArrayDeque[(A, CompletableFuture[FetchResult])](w)
     new Iterator[(A, FetchResult)] {
       private def refill(): Unit =
         while (inFlight.size < w && items.hasNext) {
           val a = items.next()
-          inFlight.addLast((a, sendOne(client, urlOf(a), requestTimeoutMs)))
+          inFlight.addLast((a, sendOne(client, urlOf(a), requestTimeoutMs, maxBodyBytes)))
         }
       def hasNext: Boolean = { refill(); !inFlight.isEmpty }
       def next(): (A, FetchResult) = {

@@ -136,13 +136,15 @@ object FrontierStream {
    * requeue. */
   def fetchExtractStreamHttpFull(spark: SparkSession, tasks: Dataset[Task],
       rewrite: String => String, connectTimeoutMs: Int = 5000,
-      requestTimeoutMs: Int = 20000, fetchWindow: Int = 16): DataFrame = {
+      requestTimeoutMs: Int = 20000, fetchWindow: Int = 16,
+      maxBodyBytes: Long = graft.sources.HttpFetcher.DefaultMaxBodyBytes): DataFrame = {
     import spark.implicits._
     val rw = rewrite
     tasks.mapPartitions { it =>
       lazy val client = graft.sources.HttpFetcher.sharedClient(connectTimeoutMs)
       graft.sources.HttpFetcher.fetchWindowed(
-          client, it, (tk: Task) => rw(tk.url), requestTimeoutMs, fetchWindow)
+          client, it, (tk: Task) => rw(tk.url), requestTimeoutMs, fetchWindow,
+          maxBodyBytes)
         .flatMap { case (tk, r) =>
         val outcome = Iterator.single(
           ("outcome", tk.url, tk.host, r.outcome, r.error_kind))

@@ -154,6 +154,60 @@ class FetcherSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("bodies over the cap truncate at the cap with error_kind=Truncated") {
+    // the bounded-bodies contract (HttpFetcher class doc): a 2xx body larger
+    // than maxBodyBytes yields Ok with EXACTLY the first cap bytes and the
+    // Truncated marker; a body of exactly cap bytes is NOT marked; cap <= 0
+    // is unbounded (the reference's read_to_end behavior, downloader.rs:30-37)
+    val big = ("x" * 1000) + "TAIL" // 1004 bytes
+    withServer(Map("/big" -> (200, big), "/fit" -> (200, "x" * 100))) { port =>
+      val client = HttpFetcher.newClient(2000)
+      val url = s"http://127.0.0.1:$port/big"
+
+      val truncated = HttpFetcher.fetchOne(client, url, 5000, maxBodyBytes = 1000)
+      assert(truncated.outcome == Outcome.Ok)
+      assert(truncated.error_kind == "Truncated")
+      assert(truncated.body.length == 1000)
+      assert(new String(truncated.body, "UTF-8") == "x" * 1000)
+
+      val exact = HttpFetcher.fetchOne(client,
+        s"http://127.0.0.1:$port/fit", 5000, maxBodyBytes = 100)
+      assert(exact.outcome == Outcome.Ok && exact.error_kind == "",
+        "an exactly-cap-sized body must not be marked truncated")
+      assert(exact.body.length == 100)
+
+      val unbounded = HttpFetcher.fetchOne(client, url, 5000, maxBodyBytes = 0)
+      assert(unbounded.outcome == Outcome.Ok && unbounded.error_kind == "")
+      assert(new String(unbounded.body, "UTF-8") == big)
+
+      // the async windowed path enforces the identical cap semantics
+      val windowed = HttpFetcher.fetchWindowed(client,
+        Iterator(url, url), identity[String], 5000, 2, maxBodyBytes = 1000).toVector
+      windowed.foreach { case (_, r) =>
+        assert(r.outcome == Outcome.Ok && r.error_kind == "Truncated")
+        assert(r.body.length == 1000)
+      }
+    }
+  }
+
+  test("an over-cap robots.txt parses rules from the kept prefix") {
+    // robots caps at RobotsMaxBodyBytes (512 KiB, the conventional limit:
+    // parse the first 500 KiB). Rules that fit inside the cap must survive;
+    // the host answer stays definitive (it WAS an HTTP 200).
+    val rules = "User-agent: *\nDisallow: /private\n"
+    val body = rules + ("#pad\n" * (600 * 1024 / 5)) // ~600 KiB of comments
+    withServer(Map("/robots.txt" -> (200, body))) { port =>
+      val spark = SparkSuite.spark
+      import spark.implicits._
+      val df = graft.operators.FrontierStep.fetchRobotsRules(
+        Seq("h0").toDS(),
+        _ => s"http://127.0.0.1:$port/robots.txt", 2000, 5000)
+      val row = df.collect().head
+      assert(row.getSeq[String](row.fieldIndex("disallows")).toList == List("/private"))
+      assert(row.getAs[Boolean]("definitive"))
+    }
+  }
+
   test("served corpus HTML round-trips exactly the generator hrefs") {
     val cfg = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24)
     for (h <- 0 until 4; p <- 0 until math.min(3, CorpusGen.pageCount(cfg, h))) {
