@@ -92,14 +92,26 @@ object Dedup {
   }
 
   /** Connected components over a (doc_a, doc_b) pair graph: min-label
-   * propagation — each round every node adopts the smallest label among
-   * itself and its neighbours; converges in O(component diameter) rounds
-   * (near-dup clusters are shallow). ONE job and one join+aggregate per
-   * round: each node's previous label rides the self rows through the
-   * aggregate (min over exactly one non-null `prev` per node — every dst is
-   * also a src by symmetrization, so every node has a self row), and the
+   * propagation with POINTER JUMPING — each round every node adopts the
+   * smallest label among itself, its neighbours, and (from round 2 on) its
+   * label's label. Plain min-propagation needs O(component diameter) rounds,
+   * which on a web-scale dup graph means dozens of shuffle rounds for a
+   * templated-page chain; the label-of-label shortcut doubles the distance
+   * labels travel per round, so convergence is O(log diameter) — the classic
+   * MapReduce-CC shortcutting idea (Kiveris et al., "Connected Components in
+   * MapReduce and Beyond"). The shortcut join is skipped for rounds 0-1
+   * where label(label(n)) cannot beat the neighbour min (labels start as
+   * identity), so shallow near-dup graphs — the common case, which converges
+   * in ~3 rounds — pay for at most one extra join in their final confirm
+   * round. Labels are always node ids WITHIN the component (neighbour labels
+   * trivially; label-of-label because label(n) is such an id and its row
+   * carries that node's own component-internal label), so the fixed point is
+   * still the component minimum. Still ONE job and one aggregate per round:
+   * each node's previous label rides the self rows through the aggregate
+   * (min over exactly one non-null `prev` per node — every dst is also a
+   * src by symmetrization, so every node has a self row), and the
    * convergence count is an `Observation` on the same action — no second
-   * join against the previous labels. Returns (node, cluster = min id of
+   * job against the previous labels. Returns (node, cluster = min id of
    * its component), nodes = pair endpoints. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -140,10 +152,20 @@ object Dedup {
           .select(col("dst").as("node"), col("label"),
             lit(null).cast(labelType).as("prev"))
         val self = labels.select(col("node"), col("label"), col("label").as("prev"))
+        // pointer jump: node n also considers label(label(n)). Every label
+        // value is a node id, so it has a row in `labels` — an inner
+        // equi-join on label = node covers every node. Useless before round
+        // 2 (labels are still within one hop of identity), skipped there.
+        val viaShortcut =
+          if (i < 2) Nil
+          else Seq(labels.as("a")
+            .join(labels.as("b"), col("a.label") === col("b.node"))
+            .select(col("a.node").as("node"), col("b.label").as("label"),
+              lit(null).cast(labelType).as("prev")))
         val obs = org.apache.spark.sql.Observation()
         // the eager localCheckpoint IS the round's single action; the
         // observation rides it (metrics post when the internal job ends)
-        val next = self.unionByName(viaNeighbours)
+        val next = (Seq(self, viaNeighbours) ++ viaShortcut).reduce(_.unionByName(_))
           .groupBy("node").agg(min("label").as("label"), min("prev").as("prev"))
           .observe(obs,
             sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)).as("chg"))
@@ -156,7 +178,8 @@ object Dedup {
       if (changed > 0) sys.error(
         s"connectedComponents did not converge in $maxIter rounds " +
         s"($changed labels still changing) — the pair graph has a component " +
-        s"of diameter > $maxIter; raise maxIter")
+        s"of diameter beyond what $maxIter shortcutting rounds cover " +
+        s"(roughly 2^${math.max(0, maxIter - 2)}); raise maxIter")
       labels
     } finally edges.unpersist()
   }

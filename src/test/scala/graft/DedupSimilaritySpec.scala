@@ -336,14 +336,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("connectedComponents fails loud on non-convergence; converges on a long chain") {
     val s = SparkSuite.spark
     import s.implicits._
-    // a 30-node path: diameter 29 — min-label needs ~29 rounds
+    // a 30-node path: diameter 29 — plain min-label would need ~29 rounds;
+    // 3 rounds cannot finish even with shortcutting (reach ~4 hops)
     val chain = (0 until 29).map(i => (i.toLong, (i + 1).toLong))
       .toDF("doc_a", "doc_b")
     val e = intercept[RuntimeException](
       Dedup.connectedComponents(chain, maxIter = 3).count())
     assert(e.getMessage.contains("did not converge"),
       s"expected a loud non-convergence error, got: ${e.getMessage}")
-    val labels = Dedup.connectedComponents(chain, maxIter = 40)
+    // pointer jumping makes convergence O(log diameter): 10 rounds MUST
+    // cover a diameter-29 path (plain propagation would still be half way) —
+    // this is the logarithmic-round-count pin for the 100-TB dup-chain case
+    val labels = Dedup.connectedComponents(chain, maxIter = 10)
       .as[(Long, Long)].collect().toMap
     assert(labels.size == 30 && labels.values.forall(_ == 0L),
       "one chain must collapse to a single min-id cluster")
