@@ -26,6 +26,10 @@ import org.apache.spark.sql.SparkSession
  *                  per fetch partition — the latency-bound throughput knob;
  *                  per-host concurrency stays ≤ perHostCap cluster-wide.
  *                  1 = strictly sequential; default 16)
+ *                  [--robots-ttl-gens=N]  (http mode: re-fetch a host's
+ *                  robots.txt N generations after its last answer — bounded
+ *                  staleness for long crawls; 0/absent = cache forever, the
+ *                  prior behavior)
  *                  [--max-body-bytes=N]  (http mode: page bodies read at most
  *                  N bytes then truncate-at-cap with error_kind=Truncated —
  *                  bounds executor memory against huge/hostile responses;
@@ -104,6 +108,7 @@ object CrawlMain {
       sketchBroadcastMaxBytes =
         flag("sketch-bc-max").map(_.toLong).getOrElse(64L << 20),
       carryHostThroughDedup = flag("carry-host").forall(_.toBoolean),
+      robotsTtlGens = flag("robots-ttl-gens").map(_.toInt).getOrElse(0),
       bloomExpectedItems = 1L << 22)
     val io = new TableIO(workDir)
     // http mode crawls REAL urls: seeds come from --seeds-file (one absolute

@@ -74,10 +74,20 @@ object CrawlLoop {
         val dt = graft.corpus.CorpusGen.delayTable(cfg.corpus)
         if (dt.isEmpty) None else Some(dt.toDF("host", "delay"))
       }
-    /** Robots cache accumulated through generation `upTo` (Http mode). */
+    /** Robots cache accumulated through generation `upTo` (Http mode),
+     * serving generation `upTo + 1`. With a TTL, answers older than
+     * `robotsTtlGens` generations are invisible — their hosts re-enter the
+     * cache-miss path and re-fetch (CrawlConfig.robotsTtlGens contract);
+     * every row carries `fetched_gen` so expiry survives compaction (a
+     * merged segment keeps the original fetch generation per row). */
     def robotsCacheDf(upTo: Int): Option[DataFrame] = {
       val dirs = io.deltaDirs("robots", upTo)
-      if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+      if (dirs.isEmpty) None
+      else {
+        val all = spark.read.parquet(dirs: _*)
+        if (cfg.robotsTtlGens <= 0) Some(all)
+        else Some(all.filter(col("fetched_gen") > lit(upTo + 1 - cfg.robotsTtlGens)))
+      }
     }
 
     val useSketch = cfg.useBloomPrefilter && cfg.seenSketch != "none"
@@ -154,6 +164,7 @@ object CrawlLoop {
                 seedDf.filter(keepSeed(col("host"))).select("host")
                   .distinct().as[String], rw, cTo, rTo, w)
               .filter(col("definitive")).drop("definitive") // transient robots failures re-fetch at candidacy
+              .withColumn("fetched_gen", lit(0))
               .write.mode("overwrite").parquet(io.genDir("robots", 0))
           case _ => ()
         }
@@ -372,7 +383,8 @@ object CrawlLoop {
         // fetches become a durable delta — each host pays its robots RTT once
         res.newRobots.map(nr => scala.concurrent.Future {
           stageMetrics.labelled(gen, "robots_write") {
-            nr.write.mode("overwrite").parquet(io.genDir("robots", gen))
+            nr.withColumn("fetched_gen", lit(gen))
+              .write.mode("overwrite").parquet(io.genDir("robots", gen))
           }
         }))
 

@@ -90,7 +90,17 @@ final case class CrawlConfig(
      * modes supported; in Http mode the spans are parsed INSIDE the fetch
      * partition (Extract.spansFromHtml), so the raw body still never leaves
      * it. */
-    archiveFetched: Boolean = false
+    archiveFetched: Boolean = false,
+    /** Http-mode robots cache TTL in generations (0 = never expire, the
+     * prior behavior). A cached robots answer fetched at generation g is
+     * honored through generation g + ttl - 1 and re-fetched at g + ttl —
+     * bounded staleness for long crawls (a site that tightens its
+     * Disallow rules is obeyed within ttl generations, instead of never).
+     * At most one answer per host is live at any generation (the windows
+     * are disjoint by construction), so the cache needs no per-host dedup.
+     * An updated Crawl-delay takes effect the generation AFTER the
+     * re-check, exactly like a newly met host's. */
+    robotsTtlGens: Int = 0
 )
 
 /** Output of one BSP generation (SURVEY.md §3.4). All DataFrames are lazy. */
@@ -412,9 +422,12 @@ object FrontierStep {
           newRobotsOut = Some(
             fetchedRules.filter(col("definitive")).drop("definitive"))
           // rules relevant THIS generation: the cache rows for needed hosts
-          // (semi-join prune) plus ALL fresh fetches, transient included
+          // (semi-join prune) plus ALL fresh fetches, transient included.
+          // Explicit projection: cache rows carry fetched_gen (TTL bookkeeping,
+          // CrawlLoop) which the rules join doesn't want
           val rules = (robotsCache
-              .map(_.join(hostsNeeded, Seq("host"), "left_semi")).toSeq :+
+              .map(_.select("host", "disallows", "delay")
+                .join(hostsNeeded, Seq("host"), "left_semi")).toSeq :+
               fetchedRules.drop("definitive"))
             .reduce(_ unionByName _)
           val robotsAllowed = udf((ds: Seq[String], url: String) =>

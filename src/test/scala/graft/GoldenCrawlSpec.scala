@@ -419,6 +419,36 @@ class GoldenCrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("robots TTL: expired answers re-fetch on candidacy, crawl stays ≡ oracle") {
+    // robotsTtlGens bounds cache staleness: an answer fetched at gen g is
+    // honored through g+ttl-1 and re-fetched when the host is next a
+    // candidate. With the server's rules STABLE the crawl must be
+    // byte-identical to the oracle (TTL only adds GETs, never changes
+    // behavior); the GET counts prove expiry actually happened and stayed
+    // bounded. seenCompactEvery=3 folds the robots delta log mid-crawl, so
+    // expiry is also exercised across merged segments (fetched_gen must
+    // survive compaction).
+    val corpus = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24)
+    withLoopbackServer(corpus) { (rewrite, robotsGets) =>
+      val ttl = 3
+      val maxGens = 12
+      val cfg = CrawlConfig(corpus = corpus, perHostCap = 3,
+        seenCompactEvery = 3, robotsTtlGens = ttl, fetchMode = httpMode(rewrite))
+      val seeds = CorpusGen.seeds(corpus, 3)
+      val (engineGen, engineOutcomes, oracle) = runBoth(cfg, seeds, maxGens)
+      assert(engineGen == oracle.seenGen)
+      assert(engineOutcomes == oracle.outcomes.toSet)
+      import scala.jdk.CollectionConverters._
+      val gets = robotsGets.asScala.toMap
+      assert(gets.exists(_._2 > 1),
+        s"a $maxGens-gen crawl with ttl=$ttl never re-fetched robots: $gets")
+      // a host re-fetches at most once per ttl window (+1 for the bootstrap)
+      val cap = maxGens / ttl + 1
+      val over = gets.filter(_._2 > cap)
+      assert(over.isEmpty, s"robots re-fetched beyond the TTL bound $cap: $over")
+    }
+  }
+
   test("HTTP Crawl-delay learned from robots.txt over the wire ≡ corpus ground truth") {
     // every 3rd host serves 'Crawl-delay: d' in its robots.txt; the Http
     // crawl must learn it via the robots cache and space fetches exactly as
