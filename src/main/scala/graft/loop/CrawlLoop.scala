@@ -586,6 +586,23 @@ object CrawlLoop {
     } else spark.read.parquet(dirs: _*)
   }
 
+  /** Archived pages as (doc_id, text) — the bridge from the crawl's archive
+   * table to the training-data operators: `Dedup.exact`/`minhashPairs`,
+   * the TextFunctions quality/lang-id/fingerprint queries, Similarity — all
+   * of which consume a (doc_id, text) documents shape. Text spans
+   * concatenate in document order (the fetch partition emits spans ordered
+   * by offset) separated by single spaces; media and link spans contribute
+   * nothing. Builtin filter/transform/array_join only — no UDF, the
+   * projection stays inside whole-stage codegen and prunes `parse_cov`
+   * at the scan. */
+  def archivedText(spark: SparkSession, io: TableIO): DataFrame =
+    archivedDocs(spark, io).select(col("doc_id"),
+      array_join(
+        transform(
+          filter(col("spans"), s => s.getField("kind") === lit("text")),
+          s => s.getField("text")),
+        " ").as("text"))
+
   /** All per-stage timing rows across committed generations (A2 surface):
    * (gen, action, stage_id, tasks, task_time_ms, records_read,
    * shuffle_read_bytes, shuffle_write_bytes). */

@@ -217,6 +217,44 @@ class GoldenCrawlSpec extends AnyFunSuite {
     assert(archivedGen == okUrls)
   }
 
+  test("archive → training-data pipeline: archivedText feeds dedup/quality/lang-id") {
+    // the integration seam: a crawl's archive table, adapted by
+    // CrawlLoop.archivedText to the (doc_id, text) documents shape, must be
+    // directly consumable by the LLM-pipeline operators — text content
+    // byte-equal to the corpus ground truth, exact dedup accounting closed,
+    // quality/lang-id total (every row scores)
+    val corpus = CorpusConfig(seed = 42L, numHosts = 10, maxPages = 20)
+    val cfg = CrawlConfig(corpus = corpus, perHostCap = 3, archiveFetched = true)
+    val seeds = CorpusGen.seeds(corpus, 2)
+    runBoth(cfg, seeds, maxGens = 8)
+    val spark = SparkSuite.spark
+    val texts = CrawlLoop.archivedText(spark, lastIo).persist()
+    val got = texts.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (url, text) =>
+      val CorpusGen.PageLookup.Found(h, p) = CorpusGen.resolvePage(corpus, url)
+      val want = CorpusGen.pageSpans(corpus, h, p)
+        .filter(_.kind == "text").map(_.text).mkString(" ")
+      assert(text == want, s"archived text differs for $url")
+    }
+    // exact dedup over the archived text: survivors + duplicate count must
+    // account for every archived page (the group-size invariant)
+    val dedup = graft.operators.Dedup.exact(texts).collect()
+    assert(dedup.map(r => 1 + r.getLong(2)).sum == got.size)
+    // quality + lang-id run total over the adapted shape
+    val q = org.apache.spark.sql.functions.udf(
+      (t: String) => graft.functions.TextFunctions.qualityScore(t))
+    val l = org.apache.spark.sql.functions.udf(
+      (t: String) => graft.functions.TextFunctions.langId(t)._1)
+    import org.apache.spark.sql.functions.col
+    val scored = texts.select(col("doc_id"), q(col("text")).as("quality"),
+      l(col("text")).as("lang")).collect()
+    assert(scored.length == got.size)
+    assert(scored.forall(r => !r.isNullAt(1) && r.getDouble(1) >= 0.0 &&
+      r.getDouble(1) <= 1.0 && r.getString(2).nonEmpty))
+    texts.unpersist()
+  }
+
   test("politeness Crawl-delay: engine ≡ oracle, ≤1 fetch per d generations per host") {
     // every 3rd host declares Crawl-delay 2..4 (politeness windows); the
     // engine must (a) stay crawl-identical to the sequential oracle with the
