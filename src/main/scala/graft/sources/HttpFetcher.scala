@@ -56,6 +56,14 @@ final case class FetchResult(url: String, status: Int, body: Array[Byte],
  * `--max-body-bytes` overrides, `<= 0` means unbounded (the reference's
  * exact behavior, for strict-parity runs).
  *
+ * **Transparent compression** (reference parity): requests advertise
+ * `Accept-Encoding: gzip, deflate` and responses decode transparently —
+ * reqwest 0.9 does both by default, a bare JDK HttpClient does neither, and
+ * without this a live gzip-answering server hands the extractor compressed
+ * bytes where the reference gets HTML. The body cap applies to the
+ * DECOMPRESSED output too (`decodeBody`) — network-side capping alone is no
+ * defense against a zip bomb.
+ *
  * Exercised against real sockets by FetcherSpec (error mapping, the
  * reference's mockito analogue downloader.rs:54-88; windowed≡sequential
  * equality) and by the GoldenCrawlSpec loopback-HTTP crawl (FetchMode.Http),
@@ -151,13 +159,63 @@ object HttpFetcher {
     case other => throw other // programming error: don't swallow it
   }
 
-  private def statusResult(url: String, status: Int,
-      body: (Array[Byte], Boolean)): FetchResult =
+  /** Transparent gzip/deflate decode (the reference's reqwest 0.9 client
+   * decompresses gzip by DEFAULT — a JDK HttpClient does not, and a live
+   * server answering `Content-Encoding: gzip` would otherwise hand the
+   * extractor compressed bytes where the reference gets HTML). The cap
+   * applies to DECOMPRESSED output as well — the network-side cap alone is
+   * no defense against a zip bomb (a few KiB can inflate to GiB). A stream
+   * that dies mid-decode (corrupt, or compressed bytes cut by the network
+   * cap) keeps whatever decoded cleanly and marks it truncated; a stream
+   * yielding nothing at all is the reference's read-failure arm
+   * (InvalidPage, downloader.rs:33-37). Unknown encodings pass through
+   * untouched, like reqwest. */
+  private def decodeBody(enc: String, body: Array[Byte],
+      cap: Long): Either[String, (Array[Byte], Boolean)] = {
+    if (enc != "gzip" && enc != "x-gzip" && enc != "deflate")
+      return Right((body, false))
+    val lim = if (cap <= 0) Long.MaxValue else cap
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    try {
+      // constructed inside the try: GZIPInputStream reads (and may reject)
+      // the stream header right here
+      val in: java.io.InputStream =
+        if (enc == "deflate")
+          new java.util.zip.InflaterInputStream(new java.io.ByteArrayInputStream(body))
+        else new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(body))
+      var truncated = false
+      var n = in.read(buf)
+      while (n >= 0 && !truncated) {
+        val take = math.min(n.toLong, lim - out.size()).toInt
+        out.write(buf, 0, take)
+        if (out.size() >= lim && (take < n || in.read() != -1)) truncated = true
+        else n = in.read(buf)
+      }
+      Right((out.toByteArray, truncated))
+    } catch {
+      case _: java.io.IOException =>
+        if (out.size() > 0) Right((out.toByteArray, true))
+        else Left("InvalidPage")
+    }
+  }
+
+  private def statusResult(url: String, status: Int, encoding: String,
+      body: (Array[Byte], Boolean), cap: Long): FetchResult =
     if (status >= 200 && status < 300)
-      FetchResult(url, status, body._1, Outcome.Ok,
-        if (body._2) "Truncated" else "")
+      decodeBody(encoding, body._1, cap) match {
+        case Right((bytes, hitCap)) =>
+          FetchResult(url, status, bytes, Outcome.Ok,
+            if (hitCap || body._2) "Truncated" else "")
+        case Left(kind) =>
+          FetchResult(url, status, Array.emptyByteArray, Outcome.Err, kind)
+      }
     else
       FetchResult(url, status, Array.emptyByteArray, Outcome.Err, "InvalidPage")
+
+  private def encodingOf(resp: java.net.http.HttpResponse[_]): String =
+    resp.headers.firstValue("Content-Encoding").orElse("")
+      .trim.toLowerCase(java.util.Locale.ROOT)
 
   /** GET one URL, mapping failures to the reference's outcome semantics.
    * Pure I/O + mapping — no Spark — so the error table is unit-testable. */
@@ -167,9 +225,10 @@ object HttpFetcher {
     try {
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofMillis(requestTimeoutMs.toLong))
+        .header("Accept-Encoding", "gzip, deflate") // reqwest 0.9 default; ~5-10x less page bandwidth
         .GET().build()
       val resp = client.send(req, boundedBody(maxBodyBytes))
-      statusResult(url, resp.statusCode(), resp.body())
+      statusResult(url, resp.statusCode(), encodingOf(resp), resp.body(), maxBodyBytes)
     } catch { case e: Throwable => failureResult(url, e) }
 
   /** Async GET whose future ALWAYS completes normally with a FetchResult
@@ -181,11 +240,13 @@ object HttpFetcher {
     try {
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofMillis(requestTimeoutMs.toLong))
+        .header("Accept-Encoding", "gzip, deflate") // reqwest 0.9 default; ~5-10x less page bandwidth
         .GET().build()
       client.sendAsync(req, boundedBody(maxBodyBytes))
         .handle[FetchResult] { (resp, err) =>
           if (err != null) failureResult(url, err)
-          else statusResult(url, resp.statusCode(), resp.body())
+          else statusResult(url, resp.statusCode(), encodingOf(resp),
+            resp.body(), maxBodyBytes)
         }
     } catch { case e: IllegalArgumentException =>
       CompletableFuture.completedFuture(failureResult(url, e))

@@ -190,6 +190,66 @@ class FetcherSpec extends AnyFunSuite {
     }
   }
 
+  test("gzip responses decode transparently; bombs cap at decompressed size; corrupt streams fail") {
+    // reqwest 0.9 (the reference's client) gzips by default on both sides of
+    // the wire; and the body cap must bound the DECOMPRESSED size, or a
+    // few-KiB zip bomb defeats the whole bounded-bodies contract
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    val page = "<html><a href=\"/z\">zipped</a></html>"
+    val bomb = gz(("x" * 4_000_000).getBytes("UTF-8")) // ~4 MB -> few KB
+    val routes = Map[String, (Int, Array[Byte], String)](
+      "/gz" -> (200, gz(page.getBytes("UTF-8")), "gzip"),
+      "/bomb" -> (200, bomb, "gzip"),
+      "/corrupt" -> (200, "not gzip at all".getBytes("UTF-8"), "gzip"),
+      "/plain" -> (200, page.getBytes("UTF-8"), ""))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val (status, bytes, enc) = routes(ex.getRequestURI.getPath)
+      // a well-behaved server only compresses when the client asked for it —
+      // assert the Accept-Encoding advertisement actually goes out
+      assert(Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+        .exists(_.contains("gzip")), "request did not advertise gzip")
+      if (enc.nonEmpty) ex.getResponseHeaders.set("Content-Encoding", enc)
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpFetcher.newClient(2000)
+      def get(path: String, cap: Long = 0) =
+        HttpFetcher.fetchOne(client, s"http://127.0.0.1:$port$path", 5000,
+          maxBodyBytes = cap)
+
+      val ok = get("/gz")
+      assert(ok.outcome == Outcome.Ok && ok.error_kind == "")
+      assert(new String(ok.body, "UTF-8") == page, "gzip body did not decode")
+      assert(new String(get("/plain").body, "UTF-8") == page)
+
+      val capped = get("/bomb", cap = 10000)
+      assert(capped.outcome == Outcome.Ok && capped.error_kind == "Truncated")
+      assert(capped.body.length == 10000,
+        s"decompressed cap leaked: ${capped.body.length} bytes")
+
+      val corrupt = get("/corrupt")
+      assert(corrupt.outcome == Outcome.Err && corrupt.error_kind == "InvalidPage",
+        s"corrupt gzip must be the read-failure arm, got $corrupt")
+
+      // async path: identical decode semantics
+      val w = HttpFetcher.fetchWindowed(client,
+        Iterator(s"http://127.0.0.1:$port/gz", s"http://127.0.0.1:$port/bomb"),
+        identity[String], 5000, 2, maxBodyBytes = 10000).toVector
+      assert(new String(w(0)._2.body, "UTF-8") == page)
+      assert(w(1)._2.error_kind == "Truncated" && w(1)._2.body.length == 10000)
+    } finally server.stop(0)
+  }
+
   test("an over-cap robots.txt parses rules from the kept prefix") {
     // robots caps at RobotsMaxBodyBytes (512 KiB, the conventional limit:
     // parse the first 500 KiB). Rules that fit inside the cap must survive;
