@@ -61,11 +61,8 @@ object CrawlMain {
     val fetchMode = pos.lift(6) match {
       case Some("gen")  => graft.operators.FetchMode.Generator
       case Some("http") => graft.operators.FetchMode.Http( // identity rewrite: the real web
-        fetchWindow = flags.collectFirst {
-          case f if f.startsWith("--fetch-window=") => f.drop(15).toInt }
-          .getOrElse(16),
-        maxBodyBytes = flags.collectFirst {
-          case f if f.startsWith("--max-body-bytes=") => f.drop(17).toLong }
+        fetchWindow = flag("fetch-window").map(_.toInt).getOrElse(16),
+        maxBodyBytes = flag("max-body-bytes").map(_.toLong)
           .getOrElse(graft.sources.HttpFetcher.DefaultMaxBodyBytes))
       case _            => graft.operators.FetchMode.CorpusJoin
     }

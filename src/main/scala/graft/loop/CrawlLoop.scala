@@ -84,9 +84,36 @@ object CrawlLoop {
       val dirs = io.deltaDirs("robots", upTo)
       if (dirs.isEmpty) None
       else {
-        val all = spark.read.parquet(dirs: _*)
-        if (cfg.robotsTtlGens <= 0) Some(all)
-        else Some(all.filter(col("fetched_gen") > lit(upTo + 1 - cfg.robotsTtlGens)))
+        // mergeSchema: segments written before the fetched_gen column
+        // existed must not dictate the footer schema Spark samples
+        val all = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+        if (!all.columns.contains("fetched_gen"))
+          // wholly pre-fetched_gen table: with a TTL every row's age is
+          // unknown ⇒ treat all as expired (each host re-fetches once and
+          // the table heals); without one, the original behavior
+          if (cfg.robotsTtlGens > 0) None else Some(all)
+        else {
+          val visible =
+            if (cfg.robotsTtlGens <= 0) all
+            else all.filter(col("fetched_gen").isNotNull &&
+              col("fetched_gen") > lit(upTo + 1 - cfg.robotsTtlGens))
+          // newest answer wins. Under one fixed TTL the visibility windows
+          // are disjoint (at most one live row per host), but a RESUMED
+          // crawl may change the TTL — a larger one resurrects rows a
+          // re-fetch already superseded, and ttl=0 after a TTL phase sees
+          // every historical row; duplicate hosts here would duplicate
+          // candidate rows through the rules join. One small aggregation
+          // (#hosts rows, far below the frontier) makes the read robust to
+          // any TTL history. null fetched_gen (pre-upgrade rows mixed with
+          // new ones) ranks oldest.
+          Some(visible
+            .groupBy("host")
+            .agg(max_by(
+              struct(col("disallows"), col("delay"), col("fetched_gen")),
+              coalesce(col("fetched_gen"), lit(-1))).as("_r"))
+            .select(col("host"), col("_r.disallows").as("disallows"),
+              col("_r.delay").as("delay"), col("_r.fetched_gen").as("fetched_gen")))
+        }
       }
     }
 

@@ -113,6 +113,19 @@ object Dedup {
    * convergence count is an `Observation` on the same action — no second
    * job against the previous labels. Returns (node, cluster = min id of
    * its component), nodes = pair endpoints. */
+  /** Free a localCheckpoint'ed round's materialized blocks NOW.
+   * `Dataset.unpersist` only uncaches CacheManager entries — a checkpointed
+   * Dataset's blocks belong to the RDD inside its LogicalRDD leaf, and
+   * without an explicit unpersist they linger until the driver GCs the RDD
+   * reference and the ContextCleaner notices: one full label set per CC
+   * round of undead MEMORY_AND_DISK blocks on a big graph. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => df.unpersist(); ()
+    }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -171,7 +184,7 @@ object Dedup {
             sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)).as("chg"))
           .select("node", "label").localCheckpoint(true)
         changed = Option(obs.get.apply("chg")).map(_.asInstanceOf[Long]).getOrElse(0L)
-        labels.unpersist()
+        freeCheckpoint(labels)
         labels = next
         i += 1
       }

@@ -57,12 +57,24 @@ final case class FetchResult(url: String, status: Int, body: Array[Byte],
  * exact behavior, for strict-parity runs).
  *
  * **Transparent compression** (reference parity): requests advertise
- * `Accept-Encoding: gzip, deflate` and responses decode transparently —
- * reqwest 0.9 does both by default, a bare JDK HttpClient does neither, and
- * without this a live gzip-answering server hands the extractor compressed
- * bytes where the reference gets HTML. The body cap applies to the
- * DECOMPRESSED output too (`decodeBody`) — network-side capping alone is no
- * defense against a zip bomb.
+ * `Accept-Encoding: gzip` (exactly reqwest 0.9's default) and responses
+ * decode transparently — a bare JDK HttpClient does neither, and without
+ * this a live gzip-answering server hands the extractor compressed bytes
+ * where the reference gets HTML. Volunteered `deflate` decodes too, with
+ * zlib-vs-raw sniffing (legacy servers send RFC-violating raw deflate).
+ * The body cap applies to the DECOMPRESSED output too (`decodeBody`) —
+ * network-side capping alone is no defense against a zip bomb. A truncated
+ * body additionally drops any incomplete trailing UTF-8 sequence
+ * (`trimPartialUtf8Tail`): the strict downstream decoder would otherwise
+ * reject the whole page over the cut character.
+ *
+ * **Instantaneous per-host concurrency**: windowed pipelining can open a
+ * host's selected requests concurrently where the sequential loop paced
+ * them one RTT apart — but the burst is bounded by the politeness cap
+ * (≤ perHostCap requests per host per generation exist AT ALL,
+ * cluster-wide), i.e. ≤ the default 5, the connection count a browser
+ * opens per origin. Operators raising perHostCap far above the default
+ * should size `fetchWindow` accordingly.
  *
  * Exercised against real sockets by FetcherSpec (error mapping, the
  * reference's mockito analogue downloader.rs:54-88; windowed≡sequential
@@ -174,16 +186,27 @@ object HttpFetcher {
       cap: Long): Either[String, (Array[Byte], Boolean)] = {
     if (enc != "gzip" && enc != "x-gzip" && enc != "deflate")
       return Right((body, false))
+    // misconfigured servers send 'Content-Encoding: gzip' with a zero-byte
+    // 200 body — an empty page, not a read failure (browsers agree)
+    if (body.isEmpty) return Right((body, false))
     val lim = if (cap <= 0) Long.MaxValue else cap
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
+    var in: java.io.InputStream = null
     try {
       // constructed inside the try: GZIPInputStream reads (and may reject)
-      // the stream header right here
-      val in: java.io.InputStream =
-        if (enc == "deflate")
-          new java.util.zip.InflaterInputStream(new java.io.ByteArrayInputStream(body))
-        else new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(body))
+      // the stream header right here. 'deflate' in the wild is either zlib
+      // (RFC-correct) or raw deflate (legacy IIS and friends) — sniff the
+      // zlib CMF byte (low nibble 8 = deflate method) and fall back to a
+      // raw Inflater when absent, like browsers do.
+      in =
+        if (enc == "deflate") {
+          val zlibHeader = (body(0) & 0x0f) == 8 &&
+            ((((body(0) & 0xff) << 8) | (body(1) & 0xff)) % 31 == 0)
+          new java.util.zip.InflaterInputStream(
+            new java.io.ByteArrayInputStream(body),
+            new java.util.zip.Inflater(!zlibHeader))
+        } else new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(body))
       var truncated = false
       var n = in.read(buf)
       while (n >= 0 && !truncated) {
@@ -197,7 +220,25 @@ object HttpFetcher {
       case _: java.io.IOException =>
         if (out.size() > 0) Right((out.toByteArray, true))
         else Left("InvalidPage")
-    }
+    } finally if (in != null) in.close() // frees the native zlib inflater NOW, not at GC
+  }
+
+  /** Drop an incomplete trailing UTF-8 sequence from a TRUNCATED body: the
+   * cap cuts at an arbitrary byte, and the strict downstream decoder
+   * (UrlCanon.decodeUtf8, REPORT mode) would otherwise reject the whole
+   * page over the last character — turning the documented Ok/Truncated
+   * outcome into Err for any non-ASCII page. At most 3 bytes leave; binary
+   * (non-UTF-8) content loses nothing it could have used. */
+  private def trimPartialUtf8Tail(b: Array[Byte]): Array[Byte] = {
+    var i = b.length - 1
+    var cont = 0
+    while (i >= 0 && cont < 3 && (b(i) & 0xc0) == 0x80) { cont += 1; i -= 1 }
+    if (i < 0) return b
+    val lead = b(i) & 0xff
+    val need = // continuation bytes the lead byte promises
+      if (lead >= 0xf0) 3 else if (lead >= 0xe0) 2 else if (lead >= 0xc0) 1 else 0
+    if (need > cont) java.util.Arrays.copyOfRange(b, 0, i) // incomplete: drop it
+    else b
   }
 
   private def statusResult(url: String, status: Int, encoding: String,
@@ -205,8 +246,10 @@ object HttpFetcher {
     if (status >= 200 && status < 300)
       decodeBody(encoding, body._1, cap) match {
         case Right((bytes, hitCap)) =>
-          FetchResult(url, status, bytes, Outcome.Ok,
-            if (hitCap || body._2) "Truncated" else "")
+          val truncated = hitCap || body._2
+          FetchResult(url, status,
+            if (truncated) trimPartialUtf8Tail(bytes) else bytes,
+            Outcome.Ok, if (truncated) "Truncated" else "")
         case Left(kind) =>
           FetchResult(url, status, Array.emptyByteArray, Outcome.Err, kind)
       }
@@ -225,7 +268,7 @@ object HttpFetcher {
     try {
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofMillis(requestTimeoutMs.toLong))
-        .header("Accept-Encoding", "gzip, deflate") // reqwest 0.9 default; ~5-10x less page bandwidth
+        .header("Accept-Encoding", "gzip") // reqwest 0.9 advertises gzip only; deflate still DECODES if a server volunteers it
         .GET().build()
       val resp = client.send(req, boundedBody(maxBodyBytes))
       statusResult(url, resp.statusCode(), encodingOf(resp), resp.body(), maxBodyBytes)
@@ -240,7 +283,7 @@ object HttpFetcher {
     try {
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofMillis(requestTimeoutMs.toLong))
-        .header("Accept-Encoding", "gzip, deflate") // reqwest 0.9 default; ~5-10x less page bandwidth
+        .header("Accept-Encoding", "gzip") // reqwest 0.9 advertises gzip only; deflate still DECODES if a server volunteers it
         .GET().build()
       client.sendAsync(req, boundedBody(maxBodyBytes))
         .handle[FetchResult] { (resp, err) =>

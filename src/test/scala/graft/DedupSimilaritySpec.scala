@@ -333,6 +333,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
       Seq("doc_id", "media_ref", "mime", "n_bytes", "content_md5"))
   }
 
+  test("connectedComponents frees each round's checkpoint blocks as it goes") {
+    // Dataset.unpersist is a NO-OP on a localCheckpoint'ed round (blocks
+    // belong to the LogicalRDD's rdd, not a CacheManager entry) — without
+    // the explicit rdd.unpersist a big graph accumulates one full label set
+    // of undead MEMORY_AND_DISK blocks per round. Only the RETURNED labels'
+    // checkpoint may remain.
+    val s = SparkSuite.spark
+    import s.implicits._
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val chain = (0 until 19).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b") // diameter 18 ⇒ ~7 shortcut rounds
+    val labels = Dedup.connectedComponents(chain, maxIter = 12)
+    assert(labels.count() == 20)
+    val leaked = s.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"${leaked.size} persisted RDDs left after CC — rounds are not freeing their blocks")
+  }
+
   test("connectedComponents fails loud on non-convergence; converges on a long chain") {
     val s = SparkSuite.spark
     import s.implicits._

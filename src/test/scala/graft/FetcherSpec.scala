@@ -250,6 +250,65 @@ class FetcherSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("truncation drops a cut UTF-8 sequence; deflate decodes zlib AND raw; empty gzip is empty Ok") {
+    // three review-found edges of the bounded/compressed path:
+    // (a) the cap cuts at an arbitrary byte — a multi-byte char split at the
+    //     boundary must not turn the whole page into Err downstream (the
+    //     strict decoder REPORTs); the truncated body must stay valid UTF-8
+    // (b) 'deflate' in the wild is zlib OR raw deflate (legacy IIS) — both
+    //     must decode
+    // (c) a zero-byte 200 with Content-Encoding: gzip is an empty page,
+    //     not a read failure
+    def deflate(b: Array[Byte], raw: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val accented = "é" * 600 // 1200 bytes of 2-byte sequences
+    val routes = Map[String, (Array[Byte], String)](
+      "/utf8" -> (accented.getBytes("UTF-8"), ""),
+      "/zlib" -> (deflate("<p>zlib page</p>".getBytes("UTF-8"), raw = false), "deflate"),
+      "/raw" -> (deflate("<p>raw page</p>".getBytes("UTF-8"), raw = true), "deflate"),
+      "/emptygz" -> (Array.emptyByteArray, "gzip"))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val (bytes, enc) = routes(ex.getRequestURI.getPath)
+      if (enc.nonEmpty) ex.getResponseHeaders.set("Content-Encoding", enc)
+      ex.sendResponseHeaders(200, if (bytes.isEmpty) -1 else bytes.length.toLong)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpFetcher.newClient(2000)
+      def get(path: String, cap: Long = 0) =
+        HttpFetcher.fetchOne(client, s"http://127.0.0.1:$port$path", 5000,
+          maxBodyBytes = cap)
+
+      // cap 999 lands mid-'é' (999 = 499 chars * 2 + 1): the half sequence
+      // must be dropped, the rest must decode strictly
+      val cut = get("/utf8", cap = 999)
+      assert(cut.outcome == Outcome.Ok && cut.error_kind == "Truncated")
+      assert(cut.body.length == 998, s"partial tail kept: ${cut.body.length}")
+      assert(graft.core.UrlCanon.decodeUtf8(cut.body).contains("é" * 499),
+        "truncated body no longer strictly decodable")
+      // an even cap cuts BETWEEN sequences: nothing extra may be dropped
+      assert(get("/utf8", cap = 1000).body.length == 1000)
+
+      assert(new String(get("/zlib").body, "UTF-8") == "<p>zlib page</p>")
+      assert(new String(get("/raw").body, "UTF-8") == "<p>raw page</p>")
+
+      val empty = get("/emptygz")
+      assert(empty.outcome == Outcome.Ok && empty.error_kind == "" &&
+        empty.body.isEmpty, s"empty gzip body mishandled: $empty")
+    } finally server.stop(0)
+  }
+
   test("an over-cap robots.txt parses rules from the kept prefix") {
     // robots caps at RobotsMaxBodyBytes (512 KiB, the conventional limit:
     // parse the first 500 KiB). Rules that fit inside the cap must survive;

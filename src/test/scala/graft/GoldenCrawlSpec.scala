@@ -487,6 +487,39 @@ class GoldenCrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("robots TTL change across resume: newest answer wins, crawl stays ≡ oracle") {
+    // a resumed crawl may change --robots-ttl-gens; a LARGER ttl resurrects
+    // rows that a re-fetch already superseded, and without the newest-wins
+    // read a host would carry TWO live rows — duplicating its candidates
+    // through the rules join and double-fetching. Stable server rules ⇒ the
+    // two-phase crawl must remain byte-identical to the single oracle run.
+    val corpus = CorpusConfig(seed = 42L, numHosts = 12, maxPages = 24)
+    withLoopbackServer(corpus) { (rewrite, robotsGets) =>
+      val dir = Files.createTempDirectory("graft-ttlchange").toString
+      val seeds = CorpusGen.seeds(corpus, 3)
+      val base = CrawlConfig(corpus = corpus, perHostCap = 3,
+        fetchMode = httpMode(rewrite))
+      val spark = SparkSuite.spark
+      // phase 1: short TTL — hosts re-fetch and supersede their gen-0 rows
+      CrawlLoop.run(spark, new TableIO(dir), seeds,
+        base.copy(robotsTtlGens = 2), maxGens = 6)
+      // phase 2 (resume): TTL large enough that phase-1's superseded rows
+      // fall back INSIDE the visibility window next to their replacements
+      CrawlLoop.run(spark, new TableIO(dir), seeds,
+        base.copy(robotsTtlGens = 10), maxGens = 12)
+      val io = new TableIO(dir)
+      val engineGen = CrawlLoop.seenWithGen(spark, io).collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      val engineOutcomes = CrawlLoop.allOutcomes(spark, io).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+      val oracle = SeqCrawler.crawl(base, seeds, 12)
+      assert(engineGen == oracle.seenGen)
+      assert(engineOutcomes == oracle.outcomes.toSet)
+      import scala.jdk.CollectionConverters._
+      assert(robotsGets.asScala.exists(_._2 > 1), "phase 1 never re-fetched")
+    }
+  }
+
   test("HTTP Crawl-delay learned from robots.txt over the wire ≡ corpus ground truth") {
     // every 3rd host serves 'Crawl-delay: d' in its robots.txt; the Http
     // crawl must learn it via the robots cache and space fetches exactly as
