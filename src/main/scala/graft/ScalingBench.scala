@@ -288,6 +288,10 @@ object ScalingBench {
     val hosts = sys.env.getOrElse("SPARK_GRAFT_HTTP_HOSTS", "60000").toInt
     val window = sys.env.getOrElse("SPARK_GRAFT_HTTP_WINDOW", "16").toInt
     val delayMs = sys.env.getOrElse("SPARK_GRAFT_HTTP_DELAY_MS", "0").toLong
+    // serve gzip-compressed pages (clients advertise it; a real web server
+    // would) — measures the transparent-decode path's throughput cost and
+    // the wire-bytes saving at full crawl rate
+    val gzipPages = sys.env.get("SPARK_GRAFT_HTTP_GZIP").contains("1")
     val corpus = CorpusConfig(seed = 42L, numHosts = hosts, maxPages = hosts / 2)
     // without this the sun HttpServer's two-segment response (headers, then
     // body) trips Nagle + delayed ACK: ~40 ms per request, ~500 urls/s no
@@ -311,7 +315,17 @@ object ScalingBench {
           case _ => (404, "gone")
         }
       }
-      val bytes = body.getBytes("UTF-8")
+      val plain = body.getBytes("UTF-8")
+      val bytes =
+        if (gzipPages && status == 200 &&
+            Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+              .exists(_.contains("gzip"))) {
+          val bo = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bo)
+          g.write(plain); g.close()
+          ex.getResponseHeaders.set("Content-Encoding", "gzip")
+          bo.toByteArray
+        } else plain
       if (delayMs > 0) Thread.sleep(delayMs) // emulated WAN RTT
       ex.sendResponseHeaders(status, bytes.length.toLong)
       ex.getResponseBody.write(bytes)
@@ -356,6 +370,7 @@ object ScalingBench {
     println(s"""{"bench":"http_steady_state","cpus":$cpus,""" +
       s""""server_threads":$srvThreads,"hosts":$hosts,""" +
       s""""fetch_window":$window,"server_delay_ms":$delayMs,""" +
+      s""""gzip":$gzipPages,""" +
       s""""fetched":$fetched,"ok":$ok,"discovered":$discovered,""" +
       s""""wall_sec":$sec,"urls_fetched_per_sec":${fetched / sec}}""")
     server.stop(0)
