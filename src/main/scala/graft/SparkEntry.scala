@@ -292,6 +292,22 @@ object SparkEntry {
     "q33_minhash_cc" -> ((s, dir) =>
       Dedup.minhashClusters(t(s, dir, "documents"), threshold = 0.4, shingleN = 2)
         .orderBy("doc_id")),
+    // --- text analysis: corpus n-gram frequency (repetition/contamination stats) ------------------
+    // builtin higher-order bigrams (no UDF) → explode → ONE count shuffle with
+    // map-side partial agg → TakeOrdered top-k; deterministic tie-break
+    "q34_ngram_freq" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val bigrams = transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+      t(s, dir, "documents")
+        // guard: Spark's sequence(1, 0) DESCENDS instead of being empty, so a
+        // 1-token doc must not reach the bigram transform (DuckDB's
+        // range(1, 1) is empty — the filter keeps the sides identical)
+        .filter(size(toks) >= 2)
+        .select(explode(bigrams).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("bigram")).limit(100)
+    }),
     // --- S4: task serde — binary payload → UTF-8 decode → URL parse; invalid ⇒ dropped -------------
     "q28_task_serde" -> ((s, dir) => {
       val wire = t(s, dir, "events").select(col("event_id"), col("user_id"),
@@ -413,6 +429,13 @@ object SparkEntry {
     "q30_fingerprint" -> OracleSqlGen.fingerprintSql,
     "q31_media_resize" -> OracleSqlGen.mediaResizeSql(maxDim = 256),
     "q32_frame_sample" -> OracleSqlGen.frameSampleSql(everyMs = 40000L, maxFrames = 16),
-    "q33_minhash_cc" -> OracleSqlGen.minhashClustersSql(threshold = 0.4)
+    "q33_minhash_cc" -> OracleSqlGen.minhashClustersSql(threshold = 0.4),
+    "q34_ngram_freq" ->
+      """SELECT bigram, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(
+        |    range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |  )) AS bigram FROM documents)
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin
   )
 }
