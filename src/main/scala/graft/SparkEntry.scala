@@ -2,7 +2,7 @@ package graft
 
 import graft.corpus.{CorpusConfig, CorpusGen, CorpusTables}
 import graft.functions.UrlFunctions
-import graft.operators.{CrawlConfig, Dedup, FetchMode, FrontierStep, Multimodal, Politeness, Similarity}
+import graft.operators.{CrawlConfig, Dedup, FetchMode, FrontierStep, HostGraph, Multimodal, Politeness, Similarity}
 import graft.oracle.OracleSqlGen
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -308,6 +308,28 @@ object SparkEntry {
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("bigram")).limit(100)
     }),
+    // --- dedup: per-doc duplicated n-gram ratio (Lee et al. exact-substring stat) -----------------
+    "q35_dup_ngrams" -> ((s, dir) =>
+      Dedup.dupNgramStats(t(s, dir, "documents"), n = 5)),
+    // --- decontamination: n-gram overlap vs a benchmark subset (GPT-3 style) ----------------------
+    "q36_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(
+        train = docs.filter(col("doc_id") % 19 =!= 3),
+        bench = docs.filter(col("doc_id") % 19 === 3), n = 4)
+    }),
+    // --- crawl scheduling: host-graph PageRank (integer-exact, iterative w/ lineage cut) ----------
+    "q37_host_rank" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("event_id") % 11 < 2)
+      val edges = ev.select(
+        concat(lit("h"), (col("user_id") % 80).cast("string")).as("src"),
+        concat(lit("h"), (col("event_id") % 80).cast("string")).as("dst"))
+      HostGraph.pageRankInt(edges, iters = 5).orderBy("node")
+    }),
+    // --- dedup: line-level keep-first dedup with document rebuild (RefinedWeb style) --------------
+    "q38_line_dedup" -> ((s, dir) =>
+      Dedup.lineDedup(Dedup.tokenLines(t(s, dir, "documents"), chunk = 8))
+        .orderBy("doc_id")),
     // --- S4: task serde — binary payload → UTF-8 decode → URL parse; invalid ⇒ dropped -------------
     "q28_task_serde" -> ((s, dir) => {
       val wire = t(s, dir, "events").select(col("event_id"), col("user_id"),
@@ -436,6 +458,48 @@ object SparkEntry {
         |    range(1, len(string_split(text, ' '))),
         |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
         |  )) AS bigram FROM documents)
-        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
+    // DuckDB list slices are 1-based inclusive: [i : i+n-1] is the n-token
+    // window; range(1, x) excludes x, so windows = len-n+1 matches Spark's
+    // sequence(1, size-(n-1)). The len >= n filters mirror the Spark-side
+    // sequence-descends guard.
+    "q35_dup_ngrams" ->
+      """WITH grams AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, len(string_split(text,' ')) - 3),
+        |    i -> array_to_string(string_split(text,' ')[i:i+4], ' '))) AS gram
+        |  FROM documents WHERE len(string_split(text,' ')) >= 5),
+        |freq AS (SELECT gram, count(*) AS f FROM grams GROUP BY gram)
+        |SELECT doc_id, count(*) AS n_windows,
+        |  sum(CASE WHEN f > 1 THEN 1 ELSE 0 END) AS dup_windows,
+        |  round(CAST(sum(CASE WHEN f > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio
+        |FROM grams JOIN freq USING (gram) GROUP BY doc_id""".stripMargin,
+    "q36_decontaminate" ->
+      """WITH grams AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, len(string_split(text,' ')) - 2),
+        |    i -> array_to_string(string_split(text,' ')[i:i+3], ' '))) AS gram
+        |  FROM documents WHERE len(string_split(text,' ')) >= 4),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 19 = 3),
+        |train AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 19 != 3)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM train JOIN bench USING (gram) GROUP BY doc_id""".stripMargin,
+    "q37_host_rank" -> OracleSqlGen.pageRankSql(iters = 5),
+    "q38_line_dedup" ->
+      """WITH lines AS (
+        |  SELECT doc_id, line_idx,
+        |    array_to_string(string_split(text,' ')[(line_idx*8+1):(line_idx*8+8)], ' ') AS line
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(0, (len(string_split(text,' ')) + 7) // 8)) AS line_idx
+        |        FROM documents WHERE len(string_split(text,' ')) >= 1)),
+        |ranked AS (
+        |  SELECT doc_id, line_idx, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+        |  FROM lines)
+        |SELECT doc_id,
+        |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS kept_lines,
+        |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS removed_lines,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY line_idx), '') AS new_text
+        |FROM ranked GROUP BY doc_id""".stripMargin
   )
 }

@@ -119,7 +119,7 @@ object Dedup {
    * without an explicit unpersist they linger until the driver GCs the RDD
    * reference and the ContextCleaner notices: one full label set per CC
    * round of undead MEMORY_AND_DISK blocks on a big graph. */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[operators] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false); ()
@@ -249,5 +249,116 @@ object Dedup {
   def fingerprintCol(textCol: Column): Column = {
     val fp = udf((t: String) => TextFunctions.fingerprint(t))
     fp(textCol)
+  }
+
+  /** Token n-gram windows of `toks` as an array<string> column — builtin
+   * transform/sequence/concat_ws only (codegen'd, no UDF). CALLER must
+   * guard `size(toks) >= n`: Spark's `sequence(1, 0)` DESCENDS instead of
+   * being empty (the q34 trap), so an under-length doc would produce
+   * phantom windows. */
+  def ngramsCol(toks: Column, n: Int): Column = {
+    require(n >= 1, "n-gram size must be >= 1")
+    transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
+  }
+
+  /** Per-document duplicated n-gram statistics — the exact-substring
+   * duplication metric of Lee et al., "Deduplicating Training Data Makes
+   * Language Models Better" (token-window form): a window is *duplicated*
+   * when its exact n-token string occurs more than once in the corpus
+   * (anywhere — another document or a repeat within the same one).
+   * Returns (doc_id, n_windows, dup_windows, dup_ratio) for docs with at
+   * least n tokens.
+   *
+   * Plan shape (what survives 100 TB): explode → ONE hash-agg shuffle on
+   * the gram for the corpus frequency (map-side partial agg collapses hot
+   * boilerplate grams before the exchange) → equi-join grams⋈freq on the
+   * gram (AQE skew-join splits the boilerplate keys) → ONE hash-agg
+   * shuffle on doc_id. No window-over-gram (a sort window would funnel
+   * each hot gram into a single task). At 10^12-gram scale, substitute a
+   * 128-bit hash of the gram as the shuffle/join key to cut exchange
+   * bytes ~4× — a one-line change at the `gram` select, kept as the plain
+   * string here so the DuckDB oracle reproduces the arithmetic exactly. */
+  def dupNgramStats(docs: DataFrame, n: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = docs.filter(size(toks) >= n)
+      .select(col(idCol).as("doc_id"), explode(ngramsCol(toks, n)).as("gram"))
+    val freq = grams.groupBy("gram").agg(count(lit(1)).as("f"))
+    grams.join(freq, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("f") > 1, 1L).otherwise(0L)).as("dup_windows"))
+      .withColumn("dup_ratio",
+        round(col("dup_windows").cast("double") / col("n_windows"), 6))
+  }
+
+  /** Benchmark decontamination (GPT-3 appendix-C style n-gram overlap):
+   * flag every training document sharing at least one exact n-token gram
+   * with the benchmark set; returns (doc_id, n_hits) where n_hits counts
+   * DISTINCT shared grams. Non-contaminated docs are absent (filter with
+   * a left_anti on the result to keep the clean set).
+   *
+   * Scale: the benchmark side is distinct-reduced first and is small
+   * relative to the corpus (a benchmark suite, not a crawl), so the join
+   * broadcasts under AQE's size rule; the train side stays ids+gram
+   * through the semi-shaped inner join and aggregates per doc with
+   * map-side partial counts. */
+  def decontaminate(train: DataFrame, bench: DataFrame, n: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def grams(df: DataFrame) = {
+      val toks = split(col(textCol), " ")
+      df.filter(size(toks) >= n)
+        .select(col(idCol).as("doc_id"), explode(ngramsCol(toks, n)).as("gram"))
+    }
+    val benchGrams = grams(bench).select("gram").distinct()
+    grams(train).dropDuplicates("doc_id", "gram")
+      .join(benchGrams, Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Segment a document into fixed token chunks — the line table for
+   * `lineDedup` when the corpus has no natural newlines. Returns
+   * (doc_id, line_idx, line); the trailing chunk may be shorter. Docs
+   * with no tokens produce no lines (sequence-descends guard as above). */
+  def tokenLines(docs: DataFrame, chunk: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunk >= 1, "chunk must be >= 1")
+    val toks = split(col(textCol), " ")
+    val nLines = floor((size(toks) + (chunk - 1)) / lit(chunk.toDouble)).cast("int")
+    val lineArr = transform(sequence(lit(0), nLines - 1), idx =>
+      struct(idx.as("line_idx"),
+        array_join(slice(toks, idx * chunk + 1, lit(chunk)), " ").as("line")))
+    docs.filter(size(toks) >= 1)
+      .select(col(idCol).as("doc_id"), explode(lineArr).as("l"))
+      .select(col("doc_id"), col("l.line_idx"), col("l.line"))
+  }
+
+  /** Line-level exact dedup (RefinedWeb/CCNet style): across the whole
+   * corpus, each distinct line survives only at its FIRST occurrence in
+   * (doc_id, line_idx) order; later occurrences are removed. Returns one
+   * row per document: (doc_id, kept_lines, removed_lines, new_text) with
+   * new_text = surviving lines re-joined in document order ("" when every
+   * line was a duplicate).
+   *
+   * Plan: ONE shuffle on the line content for the keep-first ranking
+   * (row_number over a unique (doc_id, line_idx) order — deterministic),
+   * then ONE shuffle on doc_id for the rebuild; the reassembly is
+   * collect_list → array_sort → array_join, all builtin. At web scale the
+   * ranking key should be a 128-bit line hash rather than the raw line
+   * (same one-line substitution as dupNgramStats); hot boilerplate lines
+   * make ONE window partition each, bounded by corpus line frequency —
+   * the min-by-(doc,idx) aggregate form is the swap-in if a single line's
+   * frequency outgrows a task. */
+  def lineDedup(lines: DataFrame): DataFrame = {
+    val w = Window.partitionBy("line").orderBy("doc_id", "line_idx")
+    val ranked = lines.withColumn("rn", row_number().over(w))
+    ranked.groupBy("doc_id").agg(
+      sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept_lines"),
+      sum(when(col("rn") > 1, 1L).otherwise(0L)).as("removed_lines"),
+      array_join(transform(
+        array_sort(collect_list(when(col("rn") === 1,
+          struct(col("line_idx"), col("line"))))),
+        s => s.getField("line")), " ").as("new_text"))
   }
 }

@@ -351,4 +351,38 @@ object OracleSqlGen {
        |    'h' || CAST(user_id % 50 AS VARCHAR) || '.example' AS host,
        |    CAST(event_id % 10 AS INT) AS priority, event_id AS next_fetch FROM events))
        |WHERE rn <= $perHostCap""".stripMargin
+
+  /** Integer PageRank over the deterministic events-derived host graph
+   * (HostGraph.pageRankInt) — the fixed iteration count is UNROLLED as
+   * chained CTEs (recursive CTEs cannot aggregate over the recursive
+   * reference). All arithmetic is 64-bit integer (// is DuckDB's integer
+   * division; both engines floor on non-negative operands), so the result
+   * hash-matches regardless of either engine's aggregation order. */
+  def pageRankSql(iters: Int, scale: Long = 1000000L, dampPct: Int = 85,
+      hostMod: Int = 80, sampleMod: Int = 11, sampleLt: Int = 2): String = {
+    val base = scale * (100 - dampPct) / 100
+    val head =
+      s"""WITH edges AS (
+         |  SELECT DISTINCT 'h' || CAST(user_id % $hostMod AS VARCHAR) AS src,
+         |                  'h' || CAST(event_id % $hostMod AS VARCHAR) AS dst
+         |  FROM events
+         |  WHERE event_id % $sampleMod < $sampleLt
+         |    AND user_id % $hostMod != event_id % $hostMod),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         |r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         |r$i AS (
+         |  SELECT n.node AS node,
+         |    CAST($base + coalesce(sum(x.contrib), 0) AS BIGINT) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT e.dst AS dst, ((r.rank * $dampPct) // 100) // o.d AS contrib
+         |             FROM edges e JOIN r${i - 1} r ON r.node = e.src
+         |             JOIN outdeg o ON o.src = e.src) x
+         |  ON x.dst = n.node
+         |  GROUP BY n.node)""".stripMargin
+    }.mkString
+    s"$head$rounds\nSELECT node, rank FROM r$iters"
+  }
 }

@@ -1,0 +1,166 @@
+package graft
+
+import graft.operators.{Dedup, HostGraph}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force reference checks for the round-5 pipeline additions:
+ * duplicated-n-gram stats (Lee et al. exact-substring metric), benchmark
+ * decontamination, line-level keep-first dedup, and integer PageRank. Each
+ * Spark result is compared against a driver-side Scala reimplementation of
+ * the definition over the same inputs. */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  // ---------- shared brute-force helpers over in-memory docs ----------
+  private def ngrams(text: String, n: Int): Seq[String] = {
+    val toks = text.split(" ", -1).toSeq
+    if (toks.size < n) Seq.empty
+    else (0 to toks.size - n).map(i => toks.slice(i, i + n).mkString(" "))
+  }
+
+  private val docs: Seq[(Long, String)] = Seq(
+    (0L, "a b c d e f g h"),                 // 5-gram "a b c d e" etc.
+    (1L, "a b c d e x y z"),                 // shares "a b c d e" with 0
+    (2L, "p q r s t u v w"),                 // unique
+    (3L, "a b c d e f g h"),                 // exact dup of 0
+    (4L, "m m m m m m m m m m"),             // within-doc repeats
+    (5L, "one two three four"),              // shorter than 5 tokens → no 5-grams
+    (6L, "z z")                               // shorter than everything
+  )
+
+  private def docsDf = {
+    val s = spark; import s.implicits._
+    docs.toDF("doc_id", "text")
+  }
+
+  test("dupNgramStats matches brute force (incl. within-doc repeats and short docs)") {
+    val n = 5
+    val all = docs.flatMap { case (_, t) => ngrams(t, n) }
+    val freq = all.groupBy(identity).view.mapValues(_.size).toMap
+    val expected = docs.flatMap { case (id, t) =>
+      val gs = ngrams(t, n)
+      if (gs.isEmpty) None
+      else {
+        val dup = gs.count(g => freq(g) > 1)
+        Some((id, gs.size.toLong, dup.toLong,
+          BigDecimal(dup.toDouble / gs.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.toSet
+    val got = Dedup.dupNgramStats(docsDf, n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+    // short docs (< n tokens) are absent, not zero-row'd
+    assert(!got.exists(x => x._1 == 5L || x._1 == 6L))
+    // within-doc repetition alone counts as duplication (doc 4: all windows dup)
+    assert(got.find(_._1 == 4L).get._4 == 1.0)
+  }
+
+  test("decontaminate counts distinct shared grams per train doc, bench excluded") {
+    val n = 3
+    val bench = docs.filter(_._1 % 3 == 0)
+    val train = docs.filter(_._1 % 3 != 0)
+    val benchGrams = bench.flatMap { case (_, t) => ngrams(t, n) }.toSet
+    val expected = train.flatMap { case (id, t) =>
+      val hits = ngrams(t, n).toSet.intersect(benchGrams).size
+      if (hits > 0) Some((id, hits.toLong)) else None
+    }.toSet
+    val s = spark; import s.implicits._
+    val got = Dedup.decontaminate(
+      train.toDF("doc_id", "text"), bench.toDF("doc_id", "text"), n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty) // the fixture really exercises overlap
+  }
+
+  test("lineDedup keeps first occurrence in (doc_id, line_idx) order and rebuilds text") {
+    val chunk = 2
+    val lines = docs.filter(_._2.nonEmpty).flatMap { case (id, t) =>
+      t.split(" ", -1).grouped(chunk).zipWithIndex.map { case (g, i) =>
+        (id, i, g.mkString(" "))
+      }
+    }
+    // global keep-first by (doc_id, line_idx) per distinct line
+    val firstOf = lines.groupBy(_._3).view.mapValues(_.minBy(l => (l._1, l._2))).toMap
+    val expected = lines.groupBy(_._1).map { case (id, ls) =>
+      val surviving = ls.filter(l => firstOf(l._3) == l).sortBy(_._2)
+      (id, surviving.size.toLong, (ls.size - surviving.size).toLong,
+        surviving.map(_._3).mkString(" "))
+    }.toSet
+    val got = Dedup.lineDedup(Dedup.tokenLines(docsDf, chunk)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == expected)
+    // doc 3 is an exact dup of doc 0 → every line removed, empty rebuild
+    assert(got.find(_._1 == 3L).get == ((3L, 0L, 4L, "")))
+  }
+
+  test("tokenLines: trailing short chunk, single-token doc, no phantom lines") {
+    val rows = Dedup.tokenLines(docsDf, chunk = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // doc 0 has 8 tokens → lines of 3,3,2
+    val d0 = rows.filter(_._1 == 0L).sortBy(_._2).map(_._3).toSeq
+    assert(d0 == Seq("a b c", "d e f", "g h"))
+    // doc 6 "z z" → one line
+    assert(rows.filter(_._1 == 6L).map(_._3).toSeq == Seq("z z"))
+    // total lines = sum of ceil(tokens/3), no descending-sequence phantoms
+    val expectedCount = docs.map { case (_, t) => (t.split(" ", -1).length + 2) / 3 }.sum
+    assert(rows.length == expectedCount)
+  }
+
+  // ---------- integer PageRank ----------
+  /** Driver-side exact reimplementation of HostGraph.pageRankInt. */
+  private def pageRankRef(edges: Set[(String, String)], iters: Int,
+      scale: Long, dampPct: Int): Map[String, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = scale * (100 - dampPct) / 100
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.toSeq.map { case (u, v) =>
+        v -> (r(u) * dampPct / 100 / outdeg(u))
+      }
+      val sums = contrib.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = nodes.map(n => n -> (base + sums.getOrElse(n, 0L))).toMap
+    }
+    r
+  }
+
+  test("pageRankInt matches the exact integer reference on a star+chain+cycle graph") {
+    val edges = Set(
+      // star: hub -> a,b,c ; back-links a->hub
+      ("hub", "a"), ("hub", "b"), ("hub", "c"), ("a", "hub"),
+      // chain: c -> d -> e
+      ("c", "d"), ("d", "e"),
+      // 2-cycle with a dangling sink f
+      ("b", "g"), ("g", "b"), ("g", "f"))
+    val s = spark; import s.implicits._
+    val df = edges.toSeq.toDF("src", "dst")
+    for (iters <- Seq(0, 1, 5)) {
+      val got = HostGraph.pageRankInt(df, iters).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == pageRankRef(edges, iters, 1000000L, 85), s"iters=$iters")
+    }
+  }
+
+  test("pageRankInt drops self-loops and duplicate edges; ranks are a stable ordering") {
+    val s = spark; import s.implicits._
+    val noisy = Seq(("x", "y"), ("x", "y"), ("x", "x"), ("y", "z"), ("z", "x"))
+      .toDF("src", "dst")
+    val clean = Set(("x", "y"), ("y", "z"), ("z", "x"))
+    val got = HostGraph.pageRankInt(noisy, iters = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == pageRankRef(clean, 3, 1000000L, 85))
+    // a 3-cycle is symmetric: every node ends with the same rank
+    assert(got.values.toSet.size == 1)
+  }
+
+  test("pageRankInt is deterministic across runs (integer arithmetic, no float order)") {
+    val s = spark; import s.implicits._
+    val edges = (0 until 200).map(i => (s"h${i % 23}", s"h${(i * 7) % 23}"))
+      .toDF("src", "dst")
+    val a = HostGraph.pageRankInt(edges, 4).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = HostGraph.pageRankInt(edges.repartition(13), 4).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+}
