@@ -296,15 +296,16 @@ object SparkEntry {
     // builtin higher-order bigrams (no UDF) → explode → ONE count shuffle with
     // map-side partial agg → TakeOrdered top-k; deterministic tie-break
     "q34_ngram_freq" -> ((s, dir) => {
+      // guard: Spark's sequence(1, 0) DESCENDS instead of being empty, so a
+      // 1-token doc must not reach the bigram transform (DuckDB's
+      // range(1, 1) is empty — the filter keeps the sides identical).
+      // Tokenize ONCE per row (materialized attribute): an inline split()
+      // is copied into every element_at of the interpreted transform
+      // lambda and re-splits the text per window (Dedup.ngramsCol doc).
       val toks = split(col("text"), " ")
-      val bigrams = transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
       t(s, dir, "documents")
-        // guard: Spark's sequence(1, 0) DESCENDS instead of being empty, so a
-        // 1-token doc must not reach the bigram transform (DuckDB's
-        // range(1, 1) is empty — the filter keeps the sides identical)
-        .filter(size(toks) >= 2)
-        .select(explode(bigrams).as("bigram"))
+        .select(toks.as("toks")).filter(size(col("toks")) >= 2)
+        .select(explode(Dedup.ngramsCol(col("toks"), 2)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("bigram")).limit(100)
     }),

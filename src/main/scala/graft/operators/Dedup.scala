@@ -252,15 +252,32 @@ object Dedup {
   }
 
   /** Token n-gram windows of `toks` as an array<string> column — builtin
-   * transform/sequence/concat_ws only (codegen'd, no UDF). CALLER must
-   * guard `size(toks) >= n`: Spark's `sequence(1, 0)` DESCENDS instead of
+   * transform/sequence/concat_ws only (no UDF). CALLER must guard
+   * `size(toks) >= n`: Spark's `sequence(1, 0)` DESCENDS instead of
    * being empty (the q34 trap), so an under-length doc would produce
-   * phantom windows. */
+   * phantom windows.
+   *
+   * PASS A MATERIALIZED ARRAY ATTRIBUTE, not `split(text)` inline: the
+   * expression is copied into every `element_at` inside the transform
+   * lambda, and higher-order functions evaluate INTERPRETED with no
+   * common-subexpression elimination — an inline split() re-tokenizes the
+   * whole text n times per window, turning an O(n·len) pass into
+   * O(n·len²) per document (measured 9.3 s → ~1 s on the q35 catalogue
+   * query at sf0.1). [[tokensOf]] produces the guarded attribute; Catalyst
+   * keeps the split in its own Project because a non-cheap alias consumed
+   * many times is not collapse-eligible. */
   def ngramsCol(toks: Column, n: Int): Column = {
     require(n >= 1, "n-gram size must be >= 1")
     transform(sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
   }
+
+  /** (doc_id, toks) with the whitespace tokenization materialized ONCE per
+   * row and rows below `minTokens` dropped (the sequence-descends guard). */
+  private def tokensOf(docs: DataFrame, minTokens: Int,
+      textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= minTokens)
 
   /** Per-document duplicated n-gram statistics — the exact-substring
    * duplication metric of Lee et al., "Deduplicating Training Data Makes
@@ -281,9 +298,8 @@ object Dedup {
    * string here so the DuckDB oracle reproduces the arithmetic exactly. */
   def dupNgramStats(docs: DataFrame, n: Int = 5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val grams = docs.filter(size(toks) >= n)
-      .select(col(idCol).as("doc_id"), explode(ngramsCol(toks, n)).as("gram"))
+    val grams = tokensOf(docs, n, textCol, idCol)
+      .select(col("doc_id"), explode(ngramsCol(col("toks"), n)).as("gram"))
     val freq = grams.groupBy("gram").agg(count(lit(1)).as("f"))
     grams.join(freq, Seq("gram"))
       .groupBy("doc_id")
@@ -306,11 +322,9 @@ object Dedup {
    * map-side partial counts. */
   def decontaminate(train: DataFrame, bench: DataFrame, n: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    def grams(df: DataFrame) = {
-      val toks = split(col(textCol), " ")
-      df.filter(size(toks) >= n)
-        .select(col(idCol).as("doc_id"), explode(ngramsCol(toks, n)).as("gram"))
-    }
+    def grams(df: DataFrame) =
+      tokensOf(df, n, textCol, idCol)
+        .select(col("doc_id"), explode(ngramsCol(col("toks"), n)).as("gram"))
     val benchGrams = grams(bench).select("gram").distinct()
     grams(train).dropDuplicates("doc_id", "gram")
       .join(benchGrams, Seq("gram"))
@@ -324,13 +338,13 @@ object Dedup {
   def tokenLines(docs: DataFrame, chunk: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(chunk >= 1, "chunk must be >= 1")
-    val toks = split(col(textCol), " ")
+    val toks = col("toks") // materialized attribute, see ngramsCol scaladoc
     val nLines = floor((size(toks) + (chunk - 1)) / lit(chunk.toDouble)).cast("int")
     val lineArr = transform(sequence(lit(0), nLines - 1), idx =>
       struct(idx.as("line_idx"),
         array_join(slice(toks, idx * chunk + 1, lit(chunk)), " ").as("line")))
-    docs.filter(size(toks) >= 1)
-      .select(col(idCol).as("doc_id"), explode(lineArr).as("l"))
+    tokensOf(docs, 1, textCol, idCol)
+      .select(col("doc_id"), explode(lineArr).as("l"))
       .select(col("doc_id"), col("l.line_idx"), col("l.line"))
   }
 
