@@ -26,6 +26,9 @@ import org.apache.spark.sql.SparkSession
  *                  per fetch partition — the latency-bound throughput knob;
  *                  per-host concurrency stays ≤ perHostCap cluster-wide.
  *                  1 = strictly sequential; default 16)
+ *                  [--gen-budget=N]  (global fetches-per-generation cap —
+ *                  exact distributed top-N across hosts; over-budget tasks
+ *                  defer and re-compete; 0 = unlimited, reference parity)
  *                  [--robots-ttl-gens=N]  (http mode: re-fetch a host's
  *                  robots.txt N generations after its last answer — bounded
  *                  staleness for long crawls; 0/absent = cache forever, the
@@ -106,6 +109,7 @@ object CrawlMain {
         flag("sketch-bc-max").map(_.toLong).getOrElse(64L << 20),
       carryHostThroughDedup = flag("carry-host").forall(_.toBoolean),
       robotsTtlGens = flag("robots-ttl-gens").map(_.toInt).getOrElse(0),
+      genBudget = flag("gen-budget").map(_.toLong).getOrElse(0L),
       bloomExpectedItems = 1L << 22)
     val io = new TableIO(workDir)
     // http mode crawls REAL urls: seeds come from --seeds-file (one absolute

@@ -347,16 +347,27 @@ object SparkEntry {
     }),
     // --- O1 politeness operator in isolation ------------------------------------------------------
     "q27_politeness_cap" -> ((s, dir) => {
-      val tasks = t(s, dir, "events").select(
-        concat(lit("http://h"), (col("user_id") % 50).cast("string"),
-          lit(".example/e"), col("event_id").cast("string")).as("url"),
-        concat(lit("h"), (col("user_id") % 50).cast("string"), lit(".example")).as("host"),
-        (col("event_id") % 10).cast("int").as("priority"),
-        col("event_id").as("next_fetch"))
-      Politeness.markTopKPerHost(tasks, k = 5)
+      Politeness.markTopKPerHost(eventTasks(s, dir), k = 5)
         .filter(col("selected")).select("url", "host", "priority")
+    }),
+    // --- O1 + global generation budget: exact distributed top-B across hosts ----------------------
+    "q39_gen_budget" -> ((s, dir) => {
+      val marked = Politeness.markTopKPerHost(eventTasks(s, dir), k = 5)
+      Politeness.capGlobalBudget(marked, budget = 100)
+        .filter(col("selected")).select("url", "host", "priority")
+        .orderBy("url")
     })
   )
+
+  /** Deterministic task table derived from events — q27/q39 input;
+   * genBudgetSql/politenessSql mirror it. */
+  private def eventTasks(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      concat(lit("http://h"), (col("user_id") % 50).cast("string"),
+        lit(".example/e"), col("event_id").cast("string")).as("url"),
+      concat(lit("h"), (col("user_id") % 50).cast("string"), lit(".example")).as("host"),
+      (col("event_id") % 10).cast("int").as("priority"),
+      col("event_id").as("next_fetch"))
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -486,6 +497,7 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_hits
         |FROM train JOIN bench USING (gram) GROUP BY doc_id""".stripMargin,
     "q37_host_rank" -> OracleSqlGen.pageRankSql(iters = 5),
+    "q39_gen_budget" -> OracleSqlGen.genBudgetSql(perHostCap = 5, budget = 100),
     "q38_line_dedup" ->
       """WITH lines AS (
         |  SELECT doc_id, line_idx,

@@ -42,6 +42,15 @@ object FetchMode {
 final case class CrawlConfig(
     corpus: CorpusConfig = CorpusConfig(),
     perHostCap: Int = 5,        // reference prefetch_count default (main.rs:126-132)
+    /** Global fetches-per-generation cap, 0 = unlimited (reference parity).
+     * The per-host cap bounds each HOST's work; nothing bounds the
+     * GENERATION — at 10^8 discovered hosts one BSP step is hosts·cap
+     * fetches. With a budget, only the best `genBudget` selected tasks
+     * (global (priority, next_fetch, url) order, exact distributed top-B —
+     * Politeness.capGlobalBudget) fetch this generation; the rest take the
+     * deferred path and re-compete next generation. Winners ⊆ the per-host
+     * selection, so politeness invariants are untouched. */
+    genBudget: Long = 0L,
     saltBuckets: Int = 16,
     filter: HostFilter = HostFilter.NoFilter,
     useRobots: Boolean = true,
@@ -204,11 +213,19 @@ object FrontierStep {
 
     // --- O1: politeness priority-queue cap, skew-salted, delay-aware ----------
     val delaysActive = delays.isDefined || priorHostNext.isDefined
-    val marked = (if (!delaysActive)
+    val polMarked = if (!delaysActive)
         Politeness.markTopKPerHost(frontier, cfg.perHostCap, cfg.saltBuckets)
       else
         Politeness.markEligibleTopK(frontier, cfg.perHostCap, cfg.saltBuckets,
-          gen.toLong, delays))
+          gen.toLong, delays)
+    val marked = (if (cfg.genBudget > 0) {
+        // capGlobalBudget runs an immediate counts job over the selected
+        // rows — persist the politeness result first so the demote pass and
+        // the unselected branch read it back instead of re-ranking
+        val pm = polMarked.persist()
+        persistedFrames += pm
+        Politeness.capGlobalBudget(pm, cfg.genBudget)
+      } else polMarked)
       .persist()
     persistedFrames += marked
     // Skew-break (north_rule "skewed-host salting to break hot-domain

@@ -117,4 +117,58 @@ object Politeness {
     }
     markedEligible.unionByName(ineligible)
   }
+
+  /** Global per-generation fetch budget: demote all but the best `budget`
+   * selected tasks (by the same deterministic (priority, next_fetch, url)
+   * queue key, now ranked ACROSS hosts) back to `selected = false`. The
+   * composition stays polite — winners are a subset of the per-host
+   * selection, so no host exceeds its cap and no delay window is violated;
+   * demoted tasks take the existing deferred path and re-compete next
+   * generation.
+   *
+   * This is the knob the reference does not have and a 100-TB crawl cannot
+   * run without: a BSP generation fetches min(frontier, hosts·cap) pages,
+   * and at 10^8 discovered hosts that is an unbounded step — the budget
+   * bounds per-generation latency/failure blast radius to the cluster's
+   * actual fetch capacity.
+   *
+   * Exact distributed top-B without collecting B rows to the driver
+   * (`sort().limit(B)` plans TakeOrdered — a driver materialization; a
+   * single global Window is a one-partition sort): range-repartition the
+   * selected rows on the queue key (the range exchange IS the distributed
+   * sort), count rows per range partition (tiny — `numPartitions` longs to
+   * the driver), prefix-sum into per-partition global offsets, then demote
+   * rows whose offset+index ≥ budget in one narrow pass. Both jobs hang off
+   * the SAME RDD, so the second reuses the first's shuffle files. Ties are
+   * impossible (url is unique within a frontier), so the winner set is
+   * independent of the physical partition layout. */
+  def capGlobalBudget(marked: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be > 0 (use no budget for unlimited)")
+    val spark = marked.sparkSession
+    val sel = marked.filter(col("selected"))
+    val unsel = marked.filter(!col("selected"))
+    val order = Seq(col("priority").asc, col("next_fetch").asc, col("url").asc)
+    val parts = math.max(2, spark.sparkContext.defaultParallelism * 2)
+    val sorted = sel.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    val schema = sorted.schema
+    val selIdx = schema.fieldIndex("selected")
+    val rdd = sorted.rdd // build ONCE: both jobs share the shuffle
+    val counts = rdd.mapPartitionsWithIndex((i, it) =>
+      Iterator((i, it.size.toLong))).collect().toMap
+    val offsets = Array.tabulate(parts)(identity)
+      .scanLeft(0L)((acc, i) => acc + counts.getOrElse(i, 0L)).init
+    if (offsets.lastOption.getOrElse(0L) +
+        counts.getOrElse(parts - 1, 0L) <= budget) return marked // under budget
+    val bc = spark.sparkContext.broadcast(offsets)
+    val demoted = rdd.mapPartitionsWithIndex { (i, it) =>
+      var rank = bc.value(i)
+      it.map { r =>
+        val keep = rank < budget; rank += 1
+        if (keep) r
+        else org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(selIdx, false))
+      }
+    }
+    spark.createDataFrame(demoted, schema).unionByName(unsel)
+  }
 }

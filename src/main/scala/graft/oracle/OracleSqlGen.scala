@@ -352,6 +352,24 @@ object OracleSqlGen {
        |    CAST(event_id % 10 AS INT) AS priority, event_id AS next_fetch FROM events))
        |WHERE rn <= $perHostCap""".stripMargin
 
+  /** Per-host politeness top-k followed by the global generation budget
+   * (Politeness.capGlobalBudget): the best `budget` selected tasks across
+   * ALL hosts by the same (priority, next_fetch, url) queue key. */
+  def genBudgetSql(perHostCap: Int, budget: Long): String =
+    s"""SELECT url, host, priority FROM (
+       |  SELECT url, host, priority,
+       |    row_number() OVER (ORDER BY priority ASC, next_fetch ASC, url ASC) AS grn
+       |  FROM (
+       |    SELECT url, host, priority, next_fetch,
+       |      row_number() OVER (PARTITION BY host
+       |        ORDER BY priority ASC, next_fetch ASC, url ASC) AS rn
+       |    FROM (SELECT
+       |      'http://h' || CAST(user_id % 50 AS VARCHAR) || '.example/e' || CAST(event_id AS VARCHAR) AS url,
+       |      'h' || CAST(user_id % 50 AS VARCHAR) || '.example' AS host,
+       |      CAST(event_id % 10 AS INT) AS priority, event_id AS next_fetch FROM events))
+       |  WHERE rn <= $perHostCap)
+       |WHERE grn <= $budget""".stripMargin
+
   /** Integer PageRank over the deterministic events-derived host graph
    * (HostGraph.pageRankInt) — the fixed iteration count is UNROLLED as
    * chained CTEs (recursive CTEs cannot aggregate over the recursive

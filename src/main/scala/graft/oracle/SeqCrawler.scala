@@ -76,9 +76,19 @@ object SeqCrawler {
         (sel.toVector, defe.toVector)
       }
 
+      // global generation budget (FrontierStep.CrawlConfig.genBudget): keep
+      // the best `budget` selected tasks across ALL hosts by the same
+      // deterministic queue key; the rest defer and re-compete next gen
+      val (budgeted, overBudget) =
+        if (cfg.genBudget > 0 && selected.size > cfg.genBudget) {
+          val b = math.min(cfg.genBudget, Int.MaxValue).toInt
+          val ordered = selected.sortBy(t => (t.priority, t.nextFetch, t.url))
+          (ordered.take(b), ordered.drop(b))
+        } else (selected, Vector.empty[OTask])
+
       // fetch + extract, accumulating this generation's candidate links
       val candidates = mutable.LinkedHashSet.empty[String]
-      selected.sortBy(t => (t.host, t.priority, t.nextFetch, t.url)).foreach { t =>
+      budgeted.sortBy(t => (t.host, t.priority, t.nextFetch, t.url)).foreach { t =>
         CorpusGen.resolvePage(cfg.corpus, t.url) match {
           case CorpusGen.PageLookup.Found(h, p) =>
             outcomes += ((gen, t.url, Outcome.Ok, ""))
@@ -110,7 +120,7 @@ object SeqCrawler {
       // (rmqredis.rs:243-249; cfg.requeueRejects mirrors the engine flag)
       val requeued =
         if (cfg.requeueRejects)
-          selected.filter(t => CorpusGen.resolvePage(cfg.corpus, t.url) ==
+          budgeted.filter(t => CorpusGen.resolvePage(cfg.corpus, t.url) ==
               CorpusGen.PageLookup.Unreachable)
             .filter(_.retryCount < cfg.maxRetries)
             .map(t => t.copy(retryCount = t.retryCount + 1))
@@ -121,10 +131,10 @@ object SeqCrawler {
       // once stale; every next-frontier task is stamped with its host's
       // open window (max with its own next_fetch)
       hostNext.filterInPlace((_, nf) => nf > gen.toLong)
-      selected.iterator.map(_.host).distinct.foreach { h =>
+      budgeted.iterator.map(_.host).distinct.foreach { h =>
         delays.get(h).filter(_ >= 1).foreach(d => hostNext(h) = gen.toLong + d)
       }
-      frontier = (newTasks ++ deferred ++ requeued).map(t =>
+      frontier = (newTasks ++ deferred ++ overBudget ++ requeued).map(t =>
         t.copy(nextFetch = math.max(t.nextFetch, hostNext.getOrElse(t.host, 0L))))
       gen += 1
     }

@@ -73,6 +73,39 @@ class GoldenCrawlSpec extends AnyFunSuite {
     assert(timings.forall(_._4 > 0))
   }
 
+  test("golden crawl with a global generation budget ≡ oracle; completeness preserved") {
+    val corpus = CorpusConfig(seed = 42L, numHosts = 15, maxPages = 30)
+    val seeds = CorpusGen.seeds(corpus, 3)
+    // tight budget: fewer fetches per generation than the per-host selection
+    // would take — the crawl trace (url → generation map AND per-gen
+    // outcomes) must still match the sequential oracle exactly
+    val cfg = CrawlConfig(corpus = corpus, perHostCap = 3, genBudget = 7)
+    val (engineGen, engineOutcomes, oracle) = runBoth(cfg, seeds, maxGens = 40)
+    assert(engineGen == oracle.seenGen, {
+      val d = oracle.seenGen.collect {
+        case (u, g) if engineGen.get(u) != Some(g) => (u, g, engineGen.get(u)) }
+      s"budgeted crawl diverged: ${d.take(5)}"
+    })
+    assert(engineOutcomes == oracle.outcomes.toSet)
+    // the budget really bit: no generation fetched more than genBudget pages
+    val perGen = engineOutcomes.groupBy(_._1).view.mapValues(_.size)
+    assert(perGen.values.max <= 7, s"a generation exceeded the budget: $perGen")
+    assert(perGen.values.exists(_ == 7), "budget never reached — test too loose")
+    // completeness: demotion only DELAYS work, it never loses it — at
+    // exhaustion (frontier empty) the budgeted crawl reaches exactly the
+    // unbudgeted seen set. Proven at the oracle level (the engine ≡ this
+    // oracle trace-for-trace above; running the engine to exhaustion under
+    // a 7-page budget would be ~100 generations of Spark jobs for the same
+    // statement): both oracles run until their frontier drains.
+    val budgetedFull = SeqCrawler.crawl(cfg, seeds, maxGens = 1000)
+    val free = SeqCrawler.crawl(cfg.copy(genBudget = 0), seeds, maxGens = 1000)
+    assert(budgetedFull.seenGen.keySet == free.seenGen.keySet,
+      "budgeted crawl failed to reach the unbudgeted seen set at exhaustion")
+    assert(budgetedFull.outcomes.map(o => (o._2, o._3)).toSet ==
+      free.outcomes.map(o => (o._2, o._3)).toSet,
+      "budgeted crawl's per-URL outcomes diverged at exhaustion")
+  }
+
   test("golden crawl with blacklist filter + reject requeue matches oracle") {
     val cfg = CrawlConfig(
       corpus = CorpusConfig(seed = 7L, numHosts = 10, maxPages = 20),

@@ -141,4 +141,54 @@ class PolitenessSpec extends AnyFunSuite {
     assert(got("http://x/null1") && got("http://x/null2") && !got("http://x/null5"))
     assert((1 to 3).map(i => got(s"http://a/p$i")).count(identity) == k)
   }
+
+  test("capGlobalBudget == brute-force global top-B over the per-host selection") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val k = 3
+    val rows = for {
+      h <- 1 to 40
+      i <- 1 to (h % 7) + 1
+    } yield (s"http://h$h.example/p$i-${rnd.nextInt(1000)}", s"h$h.example",
+      rnd.nextInt(5), rnd.nextInt(100).toLong)
+    val df = rows.toDF("url", "host", "priority", "next_fetch")
+    val marked = Politeness.markTopKPerHost(df, k, saltBuckets = 4)
+    for (budget <- Seq(1L, 17L, 60L)) {
+      val got = Politeness.capGlobalBudget(marked, budget).collect()
+        .map(r => (r.getAs[String]("url"), r.getAs[Boolean]("selected"))).toMap
+      assert(got.size == rows.size, "budget pass dropped or duplicated rows")
+      // reference: per-host top-k, then global top-B by (priority, next_fetch, url)
+      val hostSel = rows.groupBy(_._2).values.flatMap(ts =>
+        ts.sortBy(t => (t._3, t._4, t._1)).take(k)).toSeq
+      val winners = hostSel.sortBy(t => (t._3, t._4, t._1))
+        .take(budget.toInt).map(_._1).toSet
+      val want = rows.map(t => t._1 -> winners.contains(t._1)).toMap
+      assert(got == want, s"budget=$budget mismatch: " +
+        want.collect { case (u, s) if got(u) != s => (u, s, got(u)) }.take(5))
+      assert(got.values.count(identity) == math.min(budget, hostSel.size))
+    }
+  }
+
+  test("capGlobalBudget under budget is the identity; winner set is partition-invariant") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val rows = (1 to 30).map(i =>
+      (s"http://h${i % 6}.example/p$i", s"h${i % 6}.example", i % 4, 0L))
+    val df = rows.toDF("url", "host", "priority", "next_fetch")
+    val marked = Politeness.markTopKPerHost(df, k = 3, saltBuckets = 4)
+    // budget >= selected count: nothing demoted (fast path returns input)
+    val sel = marked.filter(org.apache.spark.sql.functions.col("selected")).count()
+    val same = Politeness.capGlobalBudget(marked, sel + 5).collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[Boolean]("selected"))).toMap
+    val base = marked.collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[Boolean]("selected"))).toMap
+    assert(same == base)
+    // winner set independent of the input's physical layout
+    val w1 = Politeness.capGlobalBudget(marked, 7).collect()
+      .filter(_.getAs[Boolean]("selected")).map(_.getAs[String]("url")).toSet
+    val w2 = Politeness.capGlobalBudget(marked.repartition(13), 7).collect()
+      .filter(_.getAs[Boolean]("selected")).map(_.getAs[String]("url")).toSet
+    assert(w1 == w2 && w1.size == 7)
+  }
 }
