@@ -356,7 +356,15 @@ object SparkEntry {
       Politeness.capGlobalBudget(marked, budget = 100)
         .filter(col("selected")).select("url", "host", "priority")
         .orderBy("url")
-    })
+    }),
+    // --- quality: within-doc repetition signals (Gopher repetition-rule family) -------------------
+    "q40_doc_repetition" -> ((s, dir) =>
+      Dedup.docRepetitionStats(t(s, dir, "documents"), chunk = 8)
+        .orderBy("doc_id")),
+    // --- sampling: deterministic token-budget prefix in md5 order (exact distributed prefix-sum) --
+    "q41_token_budget" -> ((s, dir) =>
+      Dedup.sampleToTokenBudget(t(s, dir, "documents"), budget = 12000L)
+        .orderBy("doc_id"))
   )
 
   /** Deterministic task table derived from events — q27/q39 input;
@@ -513,6 +521,44 @@ object SparkEntry {
         |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS kept_lines,
         |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS removed_lines,
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY line_idx), '') AS new_text
-        |FROM ranked GROUP BY doc_id""".stripMargin
+        |FROM ranked GROUP BY doc_id""".stripMargin,
+    // Same line table as q38 (8-token chunks); counts keyed per (doc, line)
+    // and (doc, bigram) so the fractions are exact integers divided once.
+    "q40_doc_repetition" ->
+      """WITH lines AS (
+        |  SELECT doc_id,
+        |    array_to_string(string_split(text,' ')[(line_idx*8+1):(line_idx*8+8)], ' ') AS line
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(0, (len(string_split(text,' ')) + 7) // 8)) AS line_idx
+        |        FROM documents WHERE len(string_split(text,' ')) >= 1)),
+        |lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY doc_id, line),
+        |ls AS (SELECT doc_id, sum(c) AS n_lines, sum(c-1) AS dup_lines,
+        |              sum((c-1)*len(line)) AS dup_chars, sum(c*len(line)) AS n_chars
+        |       FROM lc GROUP BY doc_id),
+        |bg AS (SELECT doc_id, bigram, count(*) AS c FROM (
+        |         SELECT doc_id, unnest(list_transform(
+        |           range(1, len(string_split(text,' '))),
+        |           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS bigram
+        |         FROM documents WHERE len(string_split(text,' ')) >= 2)
+        |       GROUP BY doc_id, bigram),
+        |bs AS (SELECT doc_id, max(c) AS top_n, sum(c) AS n_bigrams FROM bg GROUP BY doc_id)
+        |SELECT ls.doc_id, n_lines,
+        |  round(CAST(dup_lines AS DOUBLE) / n_lines, 6) AS dup_line_frac,
+        |  CASE WHEN n_chars > 0 THEN round(CAST(dup_chars AS DOUBLE) / n_chars, 6)
+        |       ELSE 0.0 END AS dup_line_char_frac,
+        |  coalesce(round(CAST(top_n AS DOUBLE) / n_bigrams, 6), 0.0) AS top_bigram_frac
+        |FROM ls LEFT JOIN bs ON ls.doc_id = bs.doc_id""".stripMargin,
+    // The window running sum is the oracle's form of the distributed
+    // prefix-sum; the (md5, doc_id) order is engine-portable by design.
+    "q41_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 12000""".stripMargin
   )
 }

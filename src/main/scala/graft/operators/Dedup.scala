@@ -375,4 +375,111 @@ object Dedup {
           struct(col("line_idx"), col("line"))))),
         s => s.getField("line")), " ").as("new_text"))
   }
+
+  /** Within-document repetition signals — the Gopher repetition-rule family
+   * (Rae et al. 2021, "Scaling Language Models", table A1: duplicate-line
+   * fraction, duplicate-line character fraction, top-n-gram fraction), the
+   * standard pre-training quality gates applied BEFORE corpus-level dedup.
+   * Per document:
+   *   - `dup_line_frac`:      fraction of the doc's lines that are repeats of
+   *                           an earlier identical line in the SAME document,
+   *   - `dup_line_char_frac`: the same fraction weighted by line characters,
+   *   - `top_bigram_frac`:    fraction of the doc's bigram windows occupied
+   *                           by its single most frequent bigram (0 when the
+   *                           doc has < 2 tokens and therefore no windows).
+   * Lines come from [[tokenLines]] (fixed `chunk`-token segments, for corpora
+   * without natural newlines — swap in a newline split for prose).
+   *
+   * Plan shape (the property that makes this safe at 100 TB where the
+   * corpus-level ops need care): every exchange is keyed BY DOCUMENT —
+   * (doc_id, line) and (doc_id, bigram) hash-aggs roll up to doc_id, so a
+   * boilerplate line shared by 10^9 docs never meets itself; skew is bounded
+   * by the largest single document, not by corpus-wide string frequency.
+   * Two hash-agg chains + one doc_id equi-join, map-side partials on all. */
+  def docRepetitionStats(docs: DataFrame, chunk: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val lineStats = tokenLines(docs, chunk, textCol, idCol)
+      .groupBy(col("doc_id"), col("line")).agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_lines"),
+        sum(col("c") - 1).as("dup_lines"),
+        sum((col("c") - 1) * length(col("line"))).as("dup_chars"),
+        sum(col("c") * length(col("line"))).as("n_chars"))
+    val bigramStats = tokensOf(docs, 2, textCol, idCol)
+      .select(col("doc_id"), explode(ngramsCol(col("toks"), 2)).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_n"), sum(col("c")).as("n_bigrams"))
+    lineStats.join(bigramStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        round(col("dup_lines").cast("double") / col("n_lines"), 6)
+          .as("dup_line_frac"),
+        // n_chars = 0 when every line is the empty token (empty doc): guard
+        // the 0/0 (Spark yields NaN, not null — coalesce alone can't fix it)
+        when(col("n_chars") > 0,
+          round(col("dup_chars").cast("double") / col("n_chars"), 6))
+          .otherwise(0.0).as("dup_line_char_frac"),
+        coalesce(round(col("top_n").cast("double") / col("n_bigrams"), 6),
+          lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** Deterministic token-budget subsample — "take the first `budget` tokens
+   * of the corpus in hash order", the reproducible way to cut a crawl to a
+   * training-token target (and the building block for per-source mixture
+   * weights: run it per partition of the mixture). Documents are ordered by
+   * `(md5(doc_id), doc_id)` — a fixed pseudo-random permutation, so the
+   * sample is unbiased w.r.t. crawl order yet bit-stable across runs,
+   * partitionings and engines — and the greedy PREFIX whose cumulative
+   * token count stays ≤ `budget` is kept. Returns
+   * (doc_id, n_tokens, cum_tokens) for kept docs; `cum_tokens` is the
+   * running total INCLUDING the row, so the boundary is auditable.
+   *
+   * Exact distributed prefix-sum, the [[graft.operators.Politeness.capGlobalBudget]]
+   * machinery generalised from row counts to a weight column: range-repartition
+   * on the order key (the exchange IS the distributed sort) → per-partition
+   * token sums (numPartitions longs to the driver) → prefix offsets → one
+   * narrow keep pass that SKIPS partitions wholly past the cut. Both jobs
+   * share the range shuffle; no window function, no single-partition sort,
+   * no driver materialisation of rows. Tokens = whitespace split of
+   * `textCol`, matching the corpus-op convention ([[tokensOf]]). */
+  def sampleToTokenBudget(docs: DataFrame, budget: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, "token budget must be > 0")
+    val spark = docs.sparkSession
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+      md5(col(idCol).cast("string")).as("h"))
+    val order = Seq(col("h").asc, col("doc_id").asc)
+    val parts = math.max(2, spark.sparkContext.defaultParallelism * 2)
+    val sorted = base.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    val schema = sorted.schema
+    val ntIdx = schema.fieldIndex("n_tokens")
+    val rdd = sorted.rdd // build ONCE: the sum job and the keep job share the range shuffle
+    val sums = rdd.mapPartitionsWithIndex((i, it) =>
+      Iterator((i, it.foldLeft(0L)(_ + _.getLong(ntIdx))))).collect().toMap
+    val offsets = Array.tabulate(parts)(identity)
+      .scanLeft(0L)((acc, i) => acc + sums.getOrElse(i, 0L)).init
+    val bc = spark.sparkContext.broadcast(offsets)
+    val idIdx = schema.fieldIndex("doc_id")
+    val kept = rdd.mapPartitionsWithIndex { (i, it) =>
+      if (bc.value(i) >= budget) Iterator.empty // wholly past the cut: don't even scan
+      else {
+        var cum = bc.value(i)
+        // cum is monotone within the sorted partition: stop pulling rows at
+        // the first overflow instead of scanning the tail
+        it.map { r => cum += r.getLong(ntIdx); (r, cum) }
+          .takeWhile(_._2 <= budget)
+          .map { case (r, c) =>
+            org.apache.spark.sql.Row(r.get(idIdx), r.getLong(ntIdx), c)
+          }
+      }
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", schema("doc_id").dataType),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cum_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(kept, outSchema)
+  }
 }

@@ -163,4 +163,78 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  // ---------- within-doc repetition signals (Gopher rules) ----------
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("docRepetitionStats matches brute force (dup lines, dup chars, top bigram)") {
+    val chunk = 2
+    // extra fixtures: an empty doc (1 empty-string token → n_chars = 0) and
+    // a doc whose most frequent bigram dominates
+    val local = docs ++ Seq((7L, ""), (8L, "k k k k q r"))
+    val expected = local.map { case (id, t) =>
+      val toks = t.split(" ", -1).toSeq
+      val lines = toks.grouped(chunk).map(_.mkString(" ")).toSeq
+      val cnt = lines.groupBy(identity).view.mapValues(_.size).toMap
+      val nLines = lines.size.toLong
+      val dupLines = cnt.values.map(_ - 1).sum.toLong
+      val dupChars = cnt.map { case (l, c) => (c - 1).toLong * l.length }.sum
+      val nChars = cnt.map { case (l, c) => c.toLong * l.length }.sum
+      val bigrams = if (toks.size < 2) Seq.empty
+                    else (0 to toks.size - 2).map(i => s"${toks(i)} ${toks(i + 1)}")
+      val topFrac =
+        if (bigrams.isEmpty) 0.0
+        else round6(bigrams.groupBy(identity).values.map(_.size).max.toDouble / bigrams.size)
+      (id, nLines, round6(dupLines.toDouble / nLines),
+        if (nChars > 0) round6(dupChars.toDouble / nChars) else 0.0, topFrac)
+    }.toSet
+    val s = spark; import s.implicits._
+    val got = Dedup.docRepetitionStats(local.toDF("doc_id", "text"), chunk).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(got == expected)
+    // doc 4 ("m m" × 5 lines): 4/5 lines are dups, and its only bigram is everything
+    assert(got.find(_._1 == 4L).get == ((4L, 5L, 0.8, 0.8, 1.0)))
+    // the empty doc exercises the n_chars = 0 guard without NaN
+    assert(got.find(_._1 == 7L).get == ((7L, 1L, 0.0, 0.0, 0.0)))
+  }
+
+  // ---------- deterministic token-budget sampling ----------
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("sampleToTokenBudget keeps exactly the md5-order prefix, at any partitioning") {
+    val s = spark; import s.implicits._
+    val local = (0L until 97L).map(i => (i, (0 to (i % 13).toInt).map(j => s"t$j").mkString(" ")))
+    val ordered = local
+      .map { case (id, t) => (id, t.split(" ", -1).length.toLong, md5hex(id.toString)) }
+      .sortBy { case (id, _, h) => (h, id) }
+    val cums = ordered.scanLeft(0L)(_ + _._2).tail
+    for (budget <- Seq(1L, 37L, 200L, 10000L)) {
+      val expected = ordered.zip(cums).takeWhile(_._2 <= budget)
+        .map { case ((id, n, _), c) => (id, n, c) }.toSet
+      val df = local.toDF("doc_id", "text")
+      val got = Dedup.sampleToTokenBudget(df, budget).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"budget=$budget")
+      // partitioning must not move the cut (range shuffle re-sorts)
+      val gotRep = Dedup.sampleToTokenBudget(df.repartition(7), budget).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotRep == expected, s"budget=$budget repartitioned")
+    }
+    // a budget ≥ the corpus keeps everything, with the full running sum
+    val total = local.map(_._2.split(" ", -1).length.toLong).sum
+    assert(Dedup.sampleToTokenBudget(local.toDF("doc_id", "text"), total).count() == 97L)
+  }
+
+  test("sampleToTokenBudget boundary: the first doc past the budget is cut, not trimmed") {
+    val s = spark; import s.implicits._
+    val local = (0L until 10L).map(i => (i, Seq.fill(10)("w").mkString(" "))) // 10 tokens each
+    // budget 35 → exactly 3 docs (30 tokens); the 4th would reach 40 > 35
+    val got = Dedup.sampleToTokenBudget(local.toDF("doc_id", "text"), 35L).collect()
+    assert(got.length == 3)
+    assert(got.map(_.getLong(2)).max == 30L)
+  }
 }
