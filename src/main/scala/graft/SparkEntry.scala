@@ -364,7 +364,14 @@ object SparkEntry {
     // --- sampling: deterministic token-budget prefix in md5 order (exact distributed prefix-sum) --
     "q41_token_budget" -> ((s, dir) =>
       Dedup.sampleToTokenBudget(t(s, dir, "documents"), budget = 12000L)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // --- sampling: per-source mixture budgets in ONE pass (domain mixing) -------------------------
+    "q42_mixture_sample" -> ((s, dir) => {
+      // formula budgets so the SQL oracle derives them too: 400/500/600 by src index mod 3
+      val budgets = (0 until 20).map(i => s"src$i" -> (400L + 100L * (i % 3))).toMap
+      Dedup.sampleMixtureTokenBudget(t(s, dir, "documents"), budgets)
+        .orderBy("source", "doc_id")
+    })
   )
 
   /** Deterministic task table derived from events — q27/q39 input;
@@ -559,6 +566,20 @@ object SparkEntry {
         |  SELECT doc_id, n_tokens,
         |         sum(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
         |  FROM t)
-        |SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 12000""".stripMargin
+        |SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 12000""".stripMargin,
+    // Per-source running sums; budgets derive from the source index by the
+    // same mod-3 formula the Spark side builds its budget map with.
+    "q42_mixture_sample" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 400 + 100 * (CAST(substring(source, 4) AS INT) % 3)""".stripMargin
   )
 }

@@ -482,4 +482,77 @@ object Dedup {
         org.apache.spark.sql.types.LongType, nullable = false)))
     spark.createDataFrame(kept, outSchema)
   }
+
+  /** Domain-mixing sampler: [[sampleToTokenBudget]] applied PER SOURCE in a
+   * single pass — the "mixture weights" step of a pre-training pipeline
+   * (each corpus component gets its own token budget; e.g. 60% web /
+   * 30% code / 10% reference, expressed as absolute token targets).
+   * Documents whose source has no budget are dropped. Returns
+   * (source, doc_id, n_tokens, cum_tokens) with `cum_tokens` the running
+   * per-source total including the row.
+   *
+   * Still ONE range shuffle for the whole mixture: ordering by
+   * (source, md5(doc_id), doc_id) makes each source a contiguous run of
+   * partitions, the per-partition sums report a small source→tokens map
+   * each (driver state = numPartitions × mixture components — a few
+   * hundred K entries even at 10k partitions × 50 components), and the
+   * keep pass resumes each source's running total from its per-partition
+   * offset. Looping [[sampleToTokenBudget]] per component would cost one
+   * shuffle per component instead. */
+  def sampleMixtureTokenBudget(docs: DataFrame, budgets: Map[String, Long],
+      textCol: String = "text", idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    require(budgets.nonEmpty, "mixture budgets must be non-empty")
+    require(budgets.values.forall(_ > 0), "every mixture budget must be > 0")
+    val spark = docs.sparkSession
+    val base = docs
+      .filter(col(sourceCol).isin(budgets.keys.toSeq: _*))
+      .select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        md5(col(idCol).cast("string")).as("h"))
+    val order = Seq(col("source").asc, col("h").asc, col("doc_id").asc)
+    val parts = math.max(2, spark.sparkContext.defaultParallelism * 2)
+    val sorted = base.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    val schema = sorted.schema
+    val srcIdx = schema.fieldIndex("source")
+    val idIdx = schema.fieldIndex("doc_id")
+    val ntIdx = schema.fieldIndex("n_tokens")
+    val rdd = sorted.rdd // build ONCE: sum and keep jobs share the range shuffle
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { r =>
+        val s = r.getString(srcIdx)
+        m.update(s, m.getOrElse(s, 0L) + r.getLong(ntIdx))
+      }
+      Iterator((i, m.toMap))
+    }.collect()
+    val offsets = Array.fill(parts)(Map.empty[String, Long])
+    val running = scala.collection.mutable.HashMap.empty[String, Long]
+    partSums.sortBy(_._1).foreach { case (i, m) =>
+      offsets(i) = m.keys.map(s => s -> running.getOrElse(s, 0L)).toMap
+      m.foreach { case (s, v) => running.update(s, running.getOrElse(s, 0L) + v) }
+    }
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcBud = spark.sparkContext.broadcast(budgets)
+    val kept = rdd.mapPartitionsWithIndex { (i, it) =>
+      val cums = scala.collection.mutable.HashMap[String, Long](bcOff.value(i).toSeq: _*)
+      it.flatMap { r =>
+        val s = r.getString(srcIdx)
+        val c = cums.getOrElse(s, 0L) + r.getLong(ntIdx)
+        cums.update(s, c)
+        if (c <= bcBud.value(s))
+          Some(org.apache.spark.sql.Row(s, r.get(idIdx), r.getLong(ntIdx), c))
+        else None
+      }
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source", schema("source").dataType),
+      org.apache.spark.sql.types.StructField("doc_id", schema("doc_id").dataType),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cum_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(kept, outSchema)
+  }
 }

@@ -237,4 +237,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.length == 3)
     assert(got.map(_.getLong(2)).max == 30L)
   }
+
+  test("sampleMixtureTokenBudget: per-source prefixes in one pass, unbudgeted sources dropped") {
+    val s = spark; import s.implicits._
+    val local = (0L until 120L).map { i =>
+      (i, s"s${(i % 5)}", (0 to (i % 11).toInt).map(j => s"t$j").mkString(" "))
+    }
+    val budgets = Map("s0" -> 30L, "s1" -> 55L, "s3" -> 1L, "s4" -> 100000L)
+    // driver-side reference: per-source md5-order prefix
+    val expected = local
+      .filter { case (_, src, _) => budgets.contains(src) }
+      .groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+        val ordered = ds
+          .map { case (id, _, t) => (id, t.split(" ", -1).length.toLong, md5hex(id.toString)) }
+          .sortBy { case (id, _, h) => (h, id) }
+        val cums = ordered.scanLeft(0L)(_ + _._2).tail
+        ordered.zip(cums).takeWhile(_._2 <= budgets(src))
+          .map { case ((id, n, _), c) => (src, id, n, c) }
+      }.toSet
+    val df = local.toDF("doc_id", "source", "text")
+    for (d <- Seq(df, df.repartition(9))) {
+      val got = Dedup.sampleMixtureTokenBudget(d, budgets).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected)
+      // s2 has no budget → absent; s4's huge budget keeps every s4 doc
+      assert(!got.exists(_._1 == "s2"))
+      assert(got.count(_._1 == "s4") == local.count(_._2 == "s4"))
+    }
+  }
 }
