@@ -2,7 +2,7 @@ package graft
 
 import graft.corpus.{CorpusConfig, CorpusGen, CorpusTables}
 import graft.functions.UrlFunctions
-import graft.operators.{CrawlConfig, Dedup, FetchMode, FrontierStep, HostGraph, Multimodal, Politeness, Similarity}
+import graft.operators.{CrawlConfig, Dedup, FetchMode, FrontierStep, HostGraph, Multimodal, Politeness, QualityGate, Similarity}
 import graft.oracle.OracleSqlGen
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -371,7 +371,12 @@ object SparkEntry {
       val budgets = (0 until 20).map(i => s"src$i" -> (400L + 100L * (i % 3))).toMap
       Dedup.sampleMixtureTokenBudget(t(s, dir, "documents"), budgets)
         .orderBy("source", "doc_id")
-    })
+    }),
+    // --- quality: composite reason-coded keep/drop gate (C4/CCNet/Gopher pattern) -----------------
+    "q43_quality_gate" -> ((s, dir) =>
+      QualityGate(t(s, dir, "documents"), minTokens = 40, minQuality = 0.70,
+        langs = Set("en"), maxTopBigram = 0.10)
+        .orderBy("doc_id"))
   )
 
   /** Deterministic task table derived from events — q27/q39 input;
@@ -580,6 +585,8 @@ object SparkEntry {
         |                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
         |  FROM t)
         |SELECT source, doc_id, n_tokens, cum_tokens FROM c
-        |WHERE cum_tokens <= 400 + 100 * (CAST(substring(source, 4) AS INT) % 3)""".stripMargin
+        |WHERE cum_tokens <= 400 + 100 * (CAST(substring(source, 4) AS INT) % 3)""".stripMargin,
+    "q43_quality_gate" -> OracleSqlGen.qualityGateSql(
+      minTokens = 40, minQuality = 0.70, langs = Set("en"), maxTopBigram = 0.10)
   )
 }

@@ -403,4 +403,37 @@ object OracleSqlGen {
     }.mkString
     s"$head$rounds\nSELECT node, rank FROM r$iters"
   }
+
+  // --- q43: composite quality gate -----------------------------------------------
+  /** Reason-coded keep/drop over the composed signal CTEs — quality score
+   * (q21's SQL verbatim), language-ID (q20's), whitespace token count and
+   * the top-bigram fraction (q40's bigram branch). Rule order must match
+   * `QualityGate`: first failure wins. */
+  def qualityGateSql(minTokens: Int, minQuality: Double,
+      langs: Set[String], maxTopBigram: Double): String = {
+    val langList = langs.toSeq.sorted.map(l => s"'$l'").mkString("(", ",", ")")
+    s"""WITH q AS ($qualityScoreSql),
+       |l AS ($langIdSql),
+       |w AS (SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens FROM documents),
+       |bg AS (SELECT doc_id, bigram, count(*) AS c FROM (
+       |         SELECT doc_id, unnest(list_transform(
+       |           range(1, len(string_split(text,' '))),
+       |           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS bigram
+       |         FROM documents WHERE len(string_split(text,' ')) >= 2)
+       |       GROUP BY doc_id, bigram),
+       |bs AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+       |       FROM bg GROUP BY doc_id),
+       |s AS (SELECT w.doc_id AS doc_id, ws_tokens, quality, pred_lang,
+       |        coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+       |      FROM w JOIN q USING (doc_id) JOIN l USING (doc_id)
+       |      LEFT JOIN bs USING (doc_id)),
+       |g AS (SELECT doc_id, CASE
+       |        WHEN ws_tokens < $minTokens THEN 'too_few_tokens'
+       |        WHEN pred_lang NOT IN $langList THEN 'non_target_lang'
+       |        WHEN quality < $minQuality THEN 'low_quality'
+       |        WHEN top_bigram_frac > $maxTopBigram THEN 'repetitive'
+       |        ELSE 'ok' END AS reason
+       |      FROM s)
+       |SELECT doc_id, reason, reason = 'ok' AS keep FROM g""".stripMargin
+  }
 }

@@ -238,6 +238,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.map(_.getLong(2)).max == 30L)
   }
 
+  test("QualityGate: first failing rule wins, every arm reachable, keep == (reason = ok)") {
+    import graft.functions.TextFunctions
+    import graft.operators.QualityGate
+    val minTokens = 5; val minQuality = 0.50; val maxTopBigram = 0.60
+    val langs = Set("en")
+    val fixtures = Seq(
+      (0L, "the cat and the dog went to the market for fish"), // ok (en, stopwords, varied)
+      (1L, "one two"),                                         // too_few_tokens
+      (2L, "el perro y la casa de los gatos que viven por las calles"), // non_target_lang (es)
+      (3L, "the 000000 111111 222222 333333 444444 555555 666666"), // low_quality (en marker, digit soup)
+      (4L, "the the the the the the the the the the"),          // repetitive (one bigram dominates)
+      (5L, ""))                                                 // empty → too_few_tokens
+    // driver-side reference with the SAME JVM signal functions
+    val expected = fixtures.map { case (id, t) =>
+      val ws = t.split(" ", -1).length
+      val q = BigDecimal(TextFunctions.qualityScore(t))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val lang = TextFunctions.langId(t)._1
+      val toks = t.split(" ", -1).toSeq
+      val bigrams = if (toks.size < 2) Seq.empty
+                    else (0 to toks.size - 2).map(i => s"${toks(i)} ${toks(i + 1)}")
+      val topFrac =
+        if (bigrams.isEmpty) 0.0
+        else round6(bigrams.groupBy(identity).values.map(_.size).max.toDouble / bigrams.size)
+      val reason =
+        if (ws < minTokens) "too_few_tokens"
+        else if (!langs.contains(lang)) "non_target_lang"
+        else if (q < minQuality) "low_quality"
+        else if (topFrac > maxTopBigram) "repetitive"
+        else "ok"
+      (id, reason, reason == "ok")
+    }.toSet
+    val s = spark; import s.implicits._
+    val got = QualityGate(fixtures.toDF("doc_id", "text"),
+        minTokens, minQuality, langs, maxTopBigram).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(got == expected)
+    // each arm really fired — the fixture covers the whole reason table
+    assert(got.map(_._2) ==
+      Set("ok", "too_few_tokens", "non_target_lang", "low_quality", "repetitive"))
+  }
+
   test("sampleMixtureTokenBudget: per-source prefixes in one pass, unbudgeted sources dropped") {
     val s = spark; import s.implicits._
     val local = (0L until 120L).map { i =>
