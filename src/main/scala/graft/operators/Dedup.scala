@@ -396,6 +396,17 @@ object Dedup {
    * boilerplate line shared by 10^9 docs never meets itself; skew is bounded
    * by the largest single document, not by corpus-wide string frequency.
    * Two hash-agg chains + one doc_id equi-join, map-side partials on all. */
+  /** (doc_id, top_n, n_bigrams) — the bigram branch of the repetition
+   * signals, shared with [[QualityGate]] (which needs ONLY this branch and
+   * must not pay the duplicate-line aggregation chain). Docs with < 2
+   * tokens are absent; consumers left-join and coalesce. */
+  private[operators] def bigramTopCounts(docs: DataFrame,
+      textCol: String, idCol: String): DataFrame =
+    tokensOf(docs, 2, textCol, idCol)
+      .select(col("doc_id"), explode(ngramsCol(col("toks"), 2)).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_n"), sum(col("c")).as("n_bigrams"))
+
   def docRepetitionStats(docs: DataFrame, chunk: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val lineStats = tokenLines(docs, chunk, textCol, idCol)
@@ -405,11 +416,7 @@ object Dedup {
         sum(col("c") - 1).as("dup_lines"),
         sum((col("c") - 1) * length(col("line"))).as("dup_chars"),
         sum(col("c") * length(col("line"))).as("n_chars"))
-    val bigramStats = tokensOf(docs, 2, textCol, idCol)
-      .select(col("doc_id"), explode(ngramsCol(col("toks"), 2)).as("bigram"))
-      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("top_n"), sum(col("c")).as("n_bigrams"))
-    lineStats.join(bigramStats, Seq("doc_id"), "left")
+    lineStats.join(bigramTopCounts(docs, textCol, idCol), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_lines"),
         round(col("dup_lines").cast("double") / col("n_lines"), 6)
           .as("dup_line_frac"),
@@ -444,43 +451,10 @@ object Dedup {
   def sampleToTokenBudget(docs: DataFrame, budget: Long,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(budget > 0, "token budget must be > 0")
-    val spark = docs.sparkSession
-    val base = docs.select(col(idCol).as("doc_id"),
-      size(split(col(textCol), " ")).cast("long").as("n_tokens"),
-      md5(col(idCol).cast("string")).as("h"))
-    val order = Seq(col("h").asc, col("doc_id").asc)
-    val parts = math.max(2, spark.sparkContext.defaultParallelism * 2)
-    val sorted = base.repartitionByRange(parts, order: _*)
-      .sortWithinPartitions(order: _*)
-    val schema = sorted.schema
-    val ntIdx = schema.fieldIndex("n_tokens")
-    val rdd = sorted.rdd // build ONCE: the sum job and the keep job share the range shuffle
-    val sums = rdd.mapPartitionsWithIndex((i, it) =>
-      Iterator((i, it.foldLeft(0L)(_ + _.getLong(ntIdx))))).collect().toMap
-    val offsets = Array.tabulate(parts)(identity)
-      .scanLeft(0L)((acc, i) => acc + sums.getOrElse(i, 0L)).init
-    val bc = spark.sparkContext.broadcast(offsets)
-    val idIdx = schema.fieldIndex("doc_id")
-    val kept = rdd.mapPartitionsWithIndex { (i, it) =>
-      if (bc.value(i) >= budget) Iterator.empty // wholly past the cut: don't even scan
-      else {
-        var cum = bc.value(i)
-        // cum is monotone within the sorted partition: stop pulling rows at
-        // the first overflow instead of scanning the tail
-        it.map { r => cum += r.getLong(ntIdx); (r, cum) }
-          .takeWhile(_._2 <= budget)
-          .map { case (r, c) =>
-            org.apache.spark.sql.Row(r.get(idIdx), r.getLong(ntIdx), c)
-          }
-      }
-    }
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id", schema("doc_id").dataType),
-      org.apache.spark.sql.types.StructField("n_tokens",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("cum_tokens",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    spark.createDataFrame(kept, outSchema)
+    // the whole corpus is a one-component mixture; constant group key ⇒
+    // the range order degenerates to (md5, doc_id) exactly as documented
+    tokenPrefixKeep(docs, Map("" -> budget), lit(""), textCol, idCol)
+      .select("doc_id", "n_tokens", "cum_tokens")
   }
 
   /** Domain-mixing sampler: [[sampleToTokenBudget]] applied PER SOURCE in a
@@ -504,10 +478,28 @@ object Dedup {
       sourceCol: String = "source"): DataFrame = {
     require(budgets.nonEmpty, "mixture budgets must be non-empty")
     require(budgets.values.forall(_ > 0), "every mixture budget must be > 0")
+    tokenPrefixKeep(docs.filter(col(sourceCol).isin(budgets.keys.toSeq: _*)),
+      budgets, col(sourceCol), textCol, idCol)
+  }
+
+  /** The shared exact-distributed-prefix-sum core of both samplers (one
+   * machinery, two public faces — the single-budget form passes a constant
+   * group key). Range-repartition on (group, md5(id), id) — the exchange IS
+   * the distributed sort — then per-partition group→tokens sums to the
+   * driver (numPartitions × groups entries), exclusive prefix offsets, and
+   * a keep pass that resumes each group's running total from its offset.
+   * Both jobs share the range shuffle's files. Early exits: a partition
+   * whose every group is already past its budget returns without scanning,
+   * and a partition stops pulling rows once its LAST live group overflows
+   * (cum is strictly increasing per group — null-text rows are dropped at
+   * the base select, so n_tokens ≥ 1). */
+  private def tokenPrefixKeep(docs: DataFrame, budgets: Map[String, Long],
+      sourceExpr: org.apache.spark.sql.Column,
+      textCol: String, idCol: String): DataFrame = {
     val spark = docs.sparkSession
     val base = docs
-      .filter(col(sourceCol).isin(budgets.keys.toSeq: _*))
-      .select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
+      .filter(col(textCol).isNotNull) // null text ⇒ no tokens ⇒ dropped (the tokensOf convention)
+      .select(sourceExpr.as("source"), col(idCol).as("doc_id"),
         size(split(col(textCol), " ")).cast("long").as("n_tokens"),
         md5(col(idCol).cast("string")).as("h"))
     val order = Seq(col("source").asc, col("h").asc, col("doc_id").asc)
@@ -536,14 +528,27 @@ object Dedup {
     val bcOff = spark.sparkContext.broadcast(offsets)
     val bcBud = spark.sparkContext.broadcast(budgets)
     val kept = rdd.mapPartitionsWithIndex { (i, it) =>
-      val cums = scala.collection.mutable.HashMap[String, Long](bcOff.value(i).toSeq: _*)
-      it.flatMap { r =>
-        val s = r.getString(srcIdx)
-        val c = cums.getOrElse(s, 0L) + r.getLong(ntIdx)
-        cums.update(s, c)
-        if (c <= bcBud.value(s))
-          Some(org.apache.spark.sql.Row(s, r.get(idIdx), r.getLong(ntIdx), c))
-        else None
+      val offs = bcOff.value(i)
+      val buds = bcBud.value
+      if (offs.nonEmpty && offs.forall { case (s, off) => off >= buds(s) })
+        Iterator.empty // every group here is wholly past its cut: don't scan
+      else {
+        val cums = scala.collection.mutable.HashMap[String, Long](offs.toSeq: _*)
+        // groups that can still keep rows here; a group leaves exactly once,
+        // at its first overflow — when the set drains, stop pulling rows
+        val liveSet = scala.collection.mutable.HashSet.empty[String]
+        offs.foreach { case (s, off) => if (off < buds(s)) liveSet += s }
+        it.takeWhile(_ => liveSet.nonEmpty).flatMap { r =>
+          val s = r.getString(srcIdx)
+          val c = cums.getOrElse(s, 0L) + r.getLong(ntIdx)
+          cums.update(s, c)
+          if (c <= buds(s))
+            Some(org.apache.spark.sql.Row(s, r.get(idIdx), r.getLong(ntIdx), c))
+          else {
+            liveSet.remove(s)
+            None
+          }
+        }
       }
     }
     val outSchema = org.apache.spark.sql.types.StructType(Seq(

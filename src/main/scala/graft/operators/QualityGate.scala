@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
  *   1. `too_few_tokens`   whitespace token count < `minTokens`
  *   2. `non_target_lang`  language-ID ([[TextFunctions.langId]]) ∉ `langs`
  *   3. `low_quality`      [[TextFunctions.qualityScore]] (round-6) < `minQuality`
- *   4. `repetitive`       top-bigram fraction ([[Dedup.docRepetitionStats]])
- *                         > `maxTopBigram`
+ *   4. `repetitive`       top-bigram fraction (the bigram branch of
+ *                         [[Dedup.docRepetitionStats]]) > `maxTopBigram`
  *   5. `ok`               kept
  *
  * Returns (doc_id, reason, keep). Reason-code accounting (`groupBy(reason)
@@ -32,7 +32,7 @@ object QualityGate {
 
   def apply(docs: DataFrame, minTokens: Int = 40, minQuality: Double = 0.70,
       langs: Set[String] = Set("en"), maxTopBigram: Double = 0.10,
-      chunk: Int = 8, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(langs.nonEmpty, "target language set must be non-empty")
     val qUdf = udf((t: String) => TextFunctions.qualityScore(t))
     val lUdf = udf((t: String) => TextFunctions.langId(t)._1)
@@ -40,10 +40,16 @@ object QualityGate {
       size(split(col(textCol), " ")).as("ws_tokens"),
       round(qUdf(col(textCol)), 6).as("quality"),
       lUdf(col(textCol)).as("pred_lang"))
-    val rep = Dedup.docRepetitionStats(docs, chunk, textCol, idCol)
-      .select(col("doc_id"), col("top_bigram_frac"))
+    // ONLY the bigram branch of the repetition signals — the gate must not
+    // pay docRepetitionStats's duplicate-line aggregation chain for a
+    // signal it discards (docs with < 2 tokens are absent → coalesce 0)
+    val rep = Dedup.bigramTopCounts(docs, textCol, idCol)
+      .select(col("doc_id"),
+        coalesce(round(col("top_n").cast("double") / col("n_bigrams"), 6),
+          lit(0.0)).as("top_bigram_frac"))
     val langArr = array(langs.toSeq.sorted.map(lit): _*)
-    sig.join(rep, Seq("doc_id"))
+    sig.join(rep, Seq("doc_id"), "left")
+      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
       .withColumn("reason",
         when(col("ws_tokens") < minTokens, "too_few_tokens")
           .when(!array_contains(langArr, col("pred_lang")), "non_target_lang")
