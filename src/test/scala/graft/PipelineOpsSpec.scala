@@ -280,6 +280,50 @@ class PipelineOpsSpec extends AnyFunSuite {
       Set("ok", "too_few_tokens", "non_target_lang", "low_quality", "repetitive"))
   }
 
+  test("token-budget samplers property: seeded random corpora/budgets/partitionings ≡ brute force") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(4242)
+    // driver-side reference shared by both sampler forms: drop null text,
+    // per-group md5-order prefix with cum ≤ budget
+    def reference(docs: Seq[(Long, String, String)], budgets: Map[String, Long])
+        : Set[(String, Long, Long, Long)] =
+      docs.filter { case (_, src, t) => budgets.contains(src) && t != null }
+        .groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+          val ordered = ds
+            .map { case (id, _, t) => (id, t.split(" ", -1).length.toLong, md5hex(id.toString)) }
+            .sortBy { case (id, _, h) => (h, id) }
+          val cums = ordered.scanLeft(0L)(_ + _._2).tail
+          ordered.zip(cums).takeWhile(_._2 <= budgets(src))
+            .map { case ((id, n, _), c) => (src, id, n, c) }
+        }.toSet
+    for (trial <- 1 to 12) {
+      val nSrc = 1 + rnd.nextInt(4)
+      val docs = (0 until (50 + rnd.nextInt(150))).map { i =>
+        val src = s"s${rnd.nextInt(nSrc)}"
+        // ~10% null text (must DROP, not NPE); empty text ("" = 1 token) possible
+        val text = if (rnd.nextInt(10) == 0) null
+                   else Seq.fill(rnd.nextInt(12))("w").mkString(" ")
+        (i.toLong, src, text)
+      }
+      // sometimes leave a source unbudgeted; budgets span degenerate to generous
+      val dropped = if (nSrc > 1 && rnd.nextBoolean()) Set(s"s${rnd.nextInt(nSrc)}") else Set.empty[String]
+      val budgets = (0 until nSrc).map(j => s"s$j" -> (1L + rnd.nextInt(300))).toMap
+        .filterNot { case (k, _) => dropped.contains(k) }
+      val df = docs.toDF("doc_id", "source", "text").repartition(1 + rnd.nextInt(8))
+      val got = Dedup.sampleMixtureTokenBudget(df, budgets).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == reference(docs, budgets), s"mixture trial $trial")
+      // single-budget form on the same corpus (source ignored): must agree
+      // with the one-group reference under the same null-drop rule
+      val budget = 1L + rnd.nextInt(600)
+      val gotSingle = Dedup.sampleToTokenBudget(df, budget).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expSingle = reference(docs.map { case (id, _, t) => (id, "", t) }, Map("" -> budget))
+        .map { case (_, id, n, c) => (id, n, c) }
+      assert(gotSingle == expSingle, s"single trial $trial")
+    }
+  }
+
   test("sampleMixtureTokenBudget: per-source prefixes in one pass, unbudgeted sources dropped") {
     val s = spark; import s.implicits._
     val local = (0L until 120L).map { i =>
