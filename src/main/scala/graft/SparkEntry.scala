@@ -376,7 +376,17 @@ object SparkEntry {
     "q43_quality_gate" -> ((s, dir) =>
       QualityGate(t(s, dir, "documents"), minTokens = 40, minQuality = 0.70,
         langs = Set("en"), maxTopBigram = 0.10)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // --- end-to-end corpus construction: gate → exact dedup → token-budget sample -----------------
+    "q44_corpus_build" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = QualityGate(docs, minTokens = 40, minQuality = 0.70,
+        langs = Set("en"), maxTopBigram = 0.10).filter(col("keep")).select("doc_id")
+      val gated = docs.join(kept, Seq("doc_id"))
+      val uniq = Dedup.exact(gated).select("doc_id")
+      Dedup.sampleToTokenBudget(gated.join(uniq, Seq("doc_id")), budget = 6000L)
+        .orderBy("doc_id")
+    })
   )
 
   /** Deterministic task table derived from events — q27/q39 input;
@@ -587,6 +597,9 @@ object SparkEntry {
         |SELECT source, doc_id, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 400 + 100 * (CAST(substring(source, 4) AS INT) % 3)""".stripMargin,
     "q43_quality_gate" -> OracleSqlGen.qualityGateSql(
-      minTokens = 40, minQuality = 0.70, langs = Set("en"), maxTopBigram = 0.10)
+      minTokens = 40, minQuality = 0.70, langs = Set("en"), maxTopBigram = 0.10),
+    "q44_corpus_build" -> OracleSqlGen.corpusBuildSql(
+      minTokens = 40, minQuality = 0.70, langs = Set("en"), maxTopBigram = 0.10,
+      budget = 6000L)
   )
 }

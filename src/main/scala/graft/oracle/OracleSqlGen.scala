@@ -436,4 +436,23 @@ object OracleSqlGen {
        |      FROM s)
        |SELECT doc_id, reason, reason = 'ok' AS keep FROM g""".stripMargin
   }
+
+  // --- q44: end-to-end corpus construction ---------------------------------------
+  /** The full training-corpus build chained in one statement: quality gate
+   * (q43's SQL) → exact dedup (min doc_id per identical text, q11's rule) →
+   * token-budget prefix (q41's window running sum) over the survivors. */
+  def corpusBuildSql(minTokens: Int, minQuality: Double, langs: Set[String],
+      maxTopBigram: Double, budget: Long): String =
+    s"""WITH gate AS (${qualityGateSql(minTokens, minQuality, langs, maxTopBigram)}),
+       |gated AS (SELECT d.doc_id, d.text FROM documents d
+       |          JOIN gate ON gate.doc_id = d.doc_id AND gate.reason = 'ok'),
+       |uniq AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+       |deduped AS (SELECT g2.doc_id, g2.text FROM gated g2 JOIN uniq USING (doc_id)),
+       |t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |             md5(CAST(doc_id AS VARCHAR)) AS h
+       |      FROM deduped),
+       |c AS (SELECT doc_id, n_tokens,
+       |             sum(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |      FROM t)
+       |SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= $budget""".stripMargin
 }

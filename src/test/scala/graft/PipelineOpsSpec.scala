@@ -280,6 +280,49 @@ class PipelineOpsSpec extends AnyFunSuite {
       Set("ok", "too_few_tokens", "non_target_lang", "low_quality", "repetitive"))
   }
 
+  test("corpus build composes gate → exact dedup → token budget exactly") {
+    import graft.functions.TextFunctions
+    import graft.operators.QualityGate
+    val minTokens = 5; val minQuality = 0.50; val maxTopBigram = 0.60
+    val good = "the cat and the dog went to the market for fish"
+    val fixtures = Seq(
+      (0L, good), (1L, good), (2L, good + " again today"),     // 0 and 1 exact dups
+      (3L, "one two"),                                          // gated out (short)
+      (4L, "el perro y la casa de los gatos que viven por aqui"), // gated out (es)
+      (5L, "the fox ran over the old wooden bridge at dawn"),
+      (6L, good))                                               // third copy of the dup group
+    // driver-side chain with the same JVM signal functions
+    val gated = fixtures.filter { case (_, t) =>
+      val ws = t.split(" ", -1).length
+      val lang = TextFunctions.langId(t)._1
+      val q = TextFunctions.qualityScore(t)
+      val toks = t.split(" ", -1).toSeq
+      val bigrams = (0 to toks.size - 2).map(i => s"${toks(i)} ${toks(i + 1)}")
+      val topFrac = if (bigrams.isEmpty) 0.0
+                    else bigrams.groupBy(identity).values.map(_.size).max.toDouble / bigrams.size
+      ws >= minTokens && lang == "en" && q >= minQuality && topFrac <= maxTopBigram
+    }
+    val deduped = gated.groupBy(_._2).map { case (_, ds) => ds.minBy(_._1) }.toSeq
+    val ordered = deduped
+      .map { case (id, t) => (id, t.split(" ", -1).length.toLong, md5hex(id.toString)) }
+      .sortBy { case (id, _, h) => (h, id) }
+    val budget = ordered.map(_._2).sum - 1 // force the boundary to cut one doc
+    val cums = ordered.scanLeft(0L)(_ + _._2).tail
+    val expected = ordered.zip(cums).takeWhile(_._2 <= budget)
+      .map { case ((id, n, _), c) => (id, n, c) }.toSet
+    assert(gated.size == 5 && deduped.size == 3) // the fixture really exercises both stages
+    val s = spark; import s.implicits._
+    val docs = fixtures.toDF("doc_id", "text")
+    val kept = QualityGate(docs, minTokens, minQuality, Set("en"), maxTopBigram)
+      .filter(col("keep")).select("doc_id")
+    val gatedDf = docs.join(kept, Seq("doc_id"))
+    val uniq = Dedup.exact(gatedDf).select("doc_id")
+    val got = Dedup.sampleToTokenBudget(gatedDf.join(uniq, Seq("doc_id")), budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.size == deduped.size - 1) // the boundary doc fell out
+  }
+
   test("token-budget samplers property: seeded random corpora/budgets/partitionings ≡ brute force") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(4242)
