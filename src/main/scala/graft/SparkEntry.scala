@@ -133,7 +133,8 @@ object SparkEntry {
     "q12_token_count" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
-          size(split(col("text"), " ")).as("ws_tokens"),
+          // native byte-scan (≡ size(split(text, " ")), spec-pinned)
+          graft.functions.NativeExpressions.wsTokenCount(col("text")).as("ws_tokens"),
           length(col("text")).as("text_chars"))
     }),
     // --- text analysis: stopword-ratio quality signal ----------------------------

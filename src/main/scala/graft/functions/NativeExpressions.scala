@@ -92,6 +92,44 @@ case class HammingDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Whitespace token count WITHOUT materialising the split — exactly
+ * `size(split(text, " ", -1))` (= spaces + 1, empty tokens included, "" ⇒ 1)
+ * but as a single byte scan: the builtin allocates the full token array per
+ * row just to take its length, which on a 100-TB text scan is the dominant
+ * allocation of the sampling/quality base selects (q12/q41/q42/q44, the
+ * quality gate's token floor). Byte-scanning is UTF-8-exact: 0x20 never
+ * occurs inside a multibyte sequence (continuation bytes are ≥ 0x80).
+ */
+case class WsTokenCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "ws_token_count"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    val bytes = s.numBytes()
+    var n = 1
+    var i = 0
+    while (i < bytes) { if (s.getByte(i) == 0x20) n += 1; i += 1 }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""int $n = 1;
+         |for (int $i = 0; $i < $c.numBytes(); $i++) {
+         |  if ($c.getByte($i) == 0x20) $n++;
+         |}
+         |${ev.value} = $n;""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WsTokenCount =
+    copy(child = newChild)
+}
+
 object NativeExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{toColumn, toExpression}
 
@@ -107,4 +145,8 @@ object NativeExpressions {
   /** Column API for hamming distance over two 64-bit fingerprints. */
   def hammingDistance(a: Column, b: Column): Column =
     toColumn(HammingDistance(toExpression(a), toExpression(b)))
+
+  /** Column API for the allocation-free whitespace token count. */
+  def wsTokenCount(c: Column): Column =
+    toColumn(WsTokenCount(toExpression(c)))
 }

@@ -500,7 +500,9 @@ object Dedup {
     val base = docs
       .filter(col(textCol).isNotNull) // null text ⇒ no tokens ⇒ dropped (the tokensOf convention)
       .select(sourceExpr.as("source"), col(idCol).as("doc_id"),
-        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        // native byte-scan count (≡ size(split(text," "))) — no per-row array
+        graft.functions.NativeExpressions.wsTokenCount(col(textCol))
+          .cast("long").as("n_tokens"),
         md5(col(idCol).cast("string")).as("h"))
     val order = Seq(col("source").asc, col("h").asc, col("doc_id").asc)
     val parts = math.max(2, spark.sparkContext.defaultParallelism * 2)

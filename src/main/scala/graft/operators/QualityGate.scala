@@ -37,7 +37,7 @@ object QualityGate {
     val qUdf = udf((t: String) => TextFunctions.qualityScore(t))
     val lUdf = udf((t: String) => TextFunctions.langId(t)._1)
     val sig = docs.select(col(idCol).as("doc_id"),
-      size(split(col(textCol), " ")).as("ws_tokens"),
+      graft.functions.NativeExpressions.wsTokenCount(col(textCol)).as("ws_tokens"),
       round(qUdf(col(textCol)), 6).as("quality"),
       lUdf(col(textCol)).as("pred_lang"))
     // ONLY the bigram branch of the repetition signals — the gate must not

@@ -64,4 +64,38 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Filter bloom_might_contain"), plan)
     df.collect() // executes the generated code path
   }
+
+  test("WsTokenCount ≡ size(split(text, ' ')) incl. empty/space-edge/unicode; nulls propagate") {
+    val s = spark
+    import s.implicits._
+    val fixtures = Seq(
+      "", " ", "  ", "a", "a b", " a b ", "a  b", "a b c d e",
+      "tabs\tand\nnewlines stay one token each",
+      "héllo wörld", "日本語 テキスト と spaces", "emoji 🎉 party 🎊 ok",
+      "trailing space ", " leading", "x" * 500 + " tail", null)
+    val df = fixtures.toDF("text")
+      .select(col("text"),
+        NativeExpressions.wsTokenCount(col("text")).as("native"),
+        size(split(col("text"), " ")).as("builtin"))
+    df.collect().foreach { r =>
+      if (r.isNullAt(0)) {
+        // builtin size(split(null)) is null with sizeOfNull=false; native must agree
+        assert(r.isNullAt(1) && r.isNullAt(2))
+      } else assert(r.getInt(1) == r.getInt(2), s"text=${r.getString(0)}")
+    }
+    // the generated code path really runs inside whole-stage codegen — over a
+    // range source (the literal fixture above constant-folds to a
+    // LocalTableScan, itself proof the expression is optimizer-visible)
+    val ranged = spark.range(100)
+      .withColumn("text", concat(lit("a b "), col("id").cast("string")))
+      .select(NativeExpressions.wsTokenCount(col("text")).as("n"))
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("ws_token_count") && plan.contains("*(1)"), plan)
+    assert(ranged.collect().forall(_.getInt(0) == 3)) // "a b <id>" = 3 tokens
+    // interpreted (eval) path agrees too — a raw Catalyst literal child
+    // (the Column bridge wraps lit() as an unevaluable plan node)
+    val expr = graft.functions.WsTokenCount(
+      org.apache.spark.sql.catalyst.expressions.Literal("a b  c"))
+    assert(expr.eval(null) == 4) // "a b  c": 3 spaces ⇒ 4 split elements
+  }
 }
