@@ -383,10 +383,17 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val kept = QualityGate(docs, minTokens = 40, minQuality = 0.70,
         langs = Set("en"), maxTopBigram = 0.10).filter(col("keep")).select("doc_id")
-      val gated = docs.join(kept, Seq("doc_id"))
+      // persist: the gate chain (two text UDFs + the bigram agg) feeds BOTH
+      // the dedup winner set and the sampler input — without the cache it
+      // evaluates twice in the sampler's shuffle-map stage
+      val gated = docs.join(kept, Seq("doc_id")).persist()
       val uniq = Dedup.exact(gated).select("doc_id")
-      Dedup.sampleToTokenBudget(gated.join(uniq, Seq("doc_id")), budget = 6000L)
+      val out = Dedup.sampleToTokenBudget(gated.join(uniq, Seq("doc_id")), budget = 6000L)
         .orderBy("doc_id")
+      // the sampler's sum job (run inside the call above) materialised its
+      // range shuffle, which later jobs replay instead of gated — release now
+      gated.unpersist(blocking = false)
+      out
     })
   )
 

@@ -103,6 +103,15 @@ case class HammingDistance(left: Expression, right: Expression)
  */
 case class WsTokenCount(child: Expression) extends UnaryExpression {
 
+  // non-string children must fail ANALYSIS, not execution (AbstractDataType
+  // is sql-private, so the check is spelled out instead of ExpectsInputTypes)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ws_token_count requires a string child, got ${child.dataType.catalogString}")
+
   override def dataType: DataType = IntegerType
   override def prettyName: String = "ws_token_count"
 
