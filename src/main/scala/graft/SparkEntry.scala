@@ -311,8 +311,15 @@ object SparkEntry {
         .orderBy(desc("n"), col("bigram")).limit(100)
     }),
     // --- dedup: per-doc duplicated n-gram ratio (Lee et al. exact-substring stat) -----------------
+    // r6 correctness fix (CORRECTNESS_r05 hash_match=false): the oracle's
+    // sum() over BIGINT is a DuckDB HUGEINT, which the driver's pandas
+    // normalization turns into float64 ('12.0') while Spark's long stays int
+    // ('12') — hash mismatch on equal values. decimal(38,0) normalizes the
+    // same as HUGEINT under BOTH fetchall (str '12') and pandas (12.0)
+    // paths; the numeric values are unchanged. Same fix on q38/q40/q41/q42/q44.
     "q35_dup_ngrams" -> ((s, dir) =>
-      Dedup.dupNgramStats(t(s, dir, "documents"), n = 5)),
+      Dedup.dupNgramStats(t(s, dir, "documents"), n = 5)
+        .withColumn("dup_windows", col("dup_windows").cast("decimal(38,0)"))),
     // --- decontamination: n-gram overlap vs a benchmark subset (GPT-3 style) ----------------------
     "q36_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -331,6 +338,8 @@ object SparkEntry {
     // --- dedup: line-level keep-first dedup with document rebuild (RefinedWeb style) --------------
     "q38_line_dedup" -> ((s, dir) =>
       Dedup.lineDedup(Dedup.tokenLines(t(s, dir, "documents"), chunk = 8))
+        .withColumn("kept_lines", col("kept_lines").cast("decimal(38,0)"))
+        .withColumn("removed_lines", col("removed_lines").cast("decimal(38,0)"))
         .orderBy("doc_id")),
     // --- S4: task serde — binary payload → UTF-8 decode → URL parse; invalid ⇒ dropped -------------
     "q28_task_serde" -> ((s, dir) => {
@@ -361,16 +370,19 @@ object SparkEntry {
     // --- quality: within-doc repetition signals (Gopher repetition-rule family) -------------------
     "q40_doc_repetition" -> ((s, dir) =>
       Dedup.docRepetitionStats(t(s, dir, "documents"), chunk = 8)
+        .withColumn("n_lines", col("n_lines").cast("decimal(38,0)"))
         .orderBy("doc_id")),
     // --- sampling: deterministic token-budget prefix in md5 order (exact distributed prefix-sum) --
     "q41_token_budget" -> ((s, dir) =>
       Dedup.sampleToTokenBudget(t(s, dir, "documents"), budget = 12000L)
+        .withColumn("cum_tokens", col("cum_tokens").cast("decimal(38,0)"))
         .orderBy("doc_id")),
     // --- sampling: per-source mixture budgets in ONE pass (domain mixing) -------------------------
     "q42_mixture_sample" -> ((s, dir) => {
       // formula budgets so the SQL oracle derives them too: 400/500/600 by src index mod 3
       val budgets = (0 until 20).map(i => s"src$i" -> (400L + 100L * (i % 3))).toMap
       Dedup.sampleMixtureTokenBudget(t(s, dir, "documents"), budgets)
+        .withColumn("cum_tokens", col("cum_tokens").cast("decimal(38,0)"))
         .orderBy("source", "doc_id")
     }),
     // --- quality: composite reason-coded keep/drop gate (C4/CCNet/Gopher pattern) -----------------
@@ -389,6 +401,7 @@ object SparkEntry {
       val gated = docs.join(kept, Seq("doc_id")).persist()
       val uniq = Dedup.exact(gated).select("doc_id")
       val out = Dedup.sampleToTokenBudget(gated.join(uniq, Seq("doc_id")), budget = 6000L)
+        .withColumn("cum_tokens", col("cum_tokens").cast("decimal(38,0)"))
         .orderBy("doc_id")
       // the sampler's sum job (run inside the call above) materialised its
       // range shuffle, which later jobs replay instead of gated — release now
