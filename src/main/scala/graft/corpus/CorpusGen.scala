@@ -46,19 +46,44 @@ object CorpusGen {
   def totalPages(cfg: CorpusConfig): Long =
     (0 until cfg.numHosts).map(pageCount(cfg, _).toLong).sum
 
-  /** Does a canonical URL exist in the corpus? (fetch: 200 vs 404 vs net-err) */
+  /** Does a canonical URL exist in the corpus? (fetch: 200 vs 404 vs net-err)
+   *
+   * Hand-rolled parse of `^http://h([0-9]+)\.example/p([0-9]+)$` — this runs
+   * once per SELECTED task per generation (classification) plus once per Ok
+   * page (link extraction), and the previous regex form compiled its Pattern
+   * on EVERY call (a `val ...".r` inside the method), several µs of
+   * Pattern.compile + Matcher allocation per URL ≈ tens of wasted cpu-s per
+   * steady-state generation. Semantics preserved, incl. the regex's
+   * leading-zero acceptance ("h007" resolves host 7); indices beyond Int
+   * range classify by magnitude (host ≥ numHosts ⇒ Unreachable, page ≥
+   * pageCount ⇒ NotFound) where the old `.toInt` threw. */
   def resolvePage(cfg: CorpusConfig, url: String): PageLookup = {
-    val Re = "^http://h([0-9]+)\\.example/p([0-9]+)$".r
-    url match {
-      case Re(hs, ps) =>
-        val h = hs.toInt; val p = ps.toInt
-        if (h < cfg.numHosts && p < pageCount(cfg, h)) PageLookup.Found(h, p)
-        else if (h < cfg.numHosts) PageLookup.NotFound // 404 ⇒ Err(InvalidPage)
-        else PageLookup.Unreachable                     // no such host ⇒ Reject
-      case _ =>
-        if (url.startsWith("http://") && url.contains(".unreachable/")) PageLookup.Unreachable
-        else PageLookup.NotFound
+    if (url != null && url.startsWith("http://h")) {
+      val n = url.length
+      var i = 8
+      var h = 0L
+      var hd = 0
+      while (i < n && hd < 19 && url.charAt(i) >= '0' && url.charAt(i) <= '9') {
+        h = h * 10 + (url.charAt(i) - '0'); i += 1; hd += 1
+      }
+      if (hd >= 1 && hd < 19 && url.startsWith(".example/p", i)) {
+        var j = i + 10
+        var p = 0L
+        var pd = 0
+        while (j < n && pd < 19 && url.charAt(j) >= '0' && url.charAt(j) <= '9') {
+          p = p * 10 + (url.charAt(j) - '0'); j += 1; pd += 1
+        }
+        if (pd >= 1 && pd < 19 && j == n) {
+          return if (h < cfg.numHosts) {
+            if (p < pageCount(cfg, h.toInt)) PageLookup.Found(h.toInt, p.toInt)
+            else PageLookup.NotFound // 404 ⇒ Err(InvalidPage)
+          } else PageLookup.Unreachable // no such host ⇒ Reject
+        }
+      }
     }
+    if (url != null && url.startsWith("http://") && url.contains(".unreachable/"))
+      PageLookup.Unreachable
+    else PageLookup.NotFound
   }
 
   sealed trait PageLookup

@@ -56,7 +56,18 @@ object Dedup {
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8, shingleN: Int = 3,
       numPerm: Int = 64, bands: Int = 16, maxBucket: Int = 64,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sigs = minhashSignatures(docs, shingleN, numPerm, bands, textCol, idCol)
+    // Shingle hashing (tokenize + md5 per shingle) is the dominant per-row
+    // cost and was recomputed THREE times — once under the band pipeline and
+    // once per re-attach join side. Materialize it once (r6); the cache is
+    // the operator's working set (ids + shingle hashes, no text) and lives
+    // until the caller clears the session cache — the standard trade for an
+    // index consulted by several joins of one query.
+    val sh = docs.select(col(idCol).as("doc_id"),
+        shingleHashUdf(col(textCol), lit(shingleN)).as("shingle_hashes"))
+      .persist()
+    val sigs = sh
+      .withColumn("signature", minhashUdf(col("shingle_hashes"), lit(numPerm)))
+      .withColumn("bands", bandsUdf(col("signature"), lit(bands)))
     val buckets = sigs
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
     // stop-bucket guard: boilerplate bands explode quadratically — cap them
@@ -71,7 +82,6 @@ object Dedup {
     val pairs = a.join(b, Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
-    val sh = sigs.select(col("doc_id"), col("shingle_hashes"))
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle_hashes").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle_hashes").as("sh_b")), Seq("doc_b"))

@@ -267,7 +267,15 @@ object FrontierStep {
             when(col("doc_id").isNotNull, Outcome.Ok).otherwise(classify(col("url"))))
           .persist()
       case FetchMode.Generator =>
-        fetchable.withColumn("outcome", classify(col("url")))
+        // PERSISTED like the other two modes (r6): the outcomes branch, the
+        // link pipeline and (in the loop) the next-frontier write each run
+        // as separate actions over this frame — unpersisted, every action
+        // re-paid the politeness-output repartition AND the per-row
+        // classification (measured ~3.3 s of the steady-state bench's two
+        // actions). The Generator frame is narrow (task columns + outcome,
+        // no spans), so the cache is cheap; span-heavy data still never
+        // caches in this mode.
+        fetchable.withColumn("outcome", classify(col("url"))).persist()
       case FetchMode.Http(rewrite, cTo, rTo, window, maxBody) =>
         // production shape: fetch + extract + normalise as ONE mapPartitions
         // (one pooled client per executor, downloader.rs:13-21; up to
@@ -317,7 +325,7 @@ object FrontierStep {
           .persist()
     }
 
-    persistedFrames += fetched // no-op for the unpersisted Generator mode
+    persistedFrames += fetched // all three modes persist the fetch frame
 
     // --- S7 (non-default): durable archive of fetched payloads ----------------
     val archive: Option[DataFrame] =

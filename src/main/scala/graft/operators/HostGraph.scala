@@ -33,45 +33,72 @@ object HostGraph {
    * mass — the classic simplification; total mass is NOT conserved and the
    * ranks are a relative ordering, which is all a frontier scheduler needs.
    *
-   * Scale/iteration design: each round is two equi-joins (ranks⋈edges on
-   * src, then nodes⋈sums on node) and one hash aggregation on dst with
-   * map-side partial sums — all key-partitioned, no broadcast of the rank
-   * vector (it is node-sized). The per-round lineage is cut with an eager
-   * localCheckpoint exactly as in [[Dedup.connectedComponents]] (same
-   * failure mode without it: the stringified plan and the task-binary RDD
-   * graph both double per round); the same recompute-vs-rerun trade
-   * documented there applies. Rank values stay < numNodes·scale, so with
-   * the default scale = 10⁶ the dampPct multiply is overflow-safe below
-   * ~10¹¹ nodes; `require`d rather than assumed. */
+   * Scale/iteration design (r6 shape): the out-degree is joined onto the
+   * edge list ONCE up front (`wedges`), so each round is one equi-join
+   * (wedges⋈ranks on src) plus one hash aggregation on node with map-side
+   * partial sums; per-node zero rows ride the aggregate so dangling-in
+   * nodes get the base term without a second join. All key-partitioned, no
+   * broadcast of the rank vector (it is node-sized). Lineage is cut with
+   * an eager localCheckpoint every `cutEvery` rounds (default 3) — enough
+   * to bound the stringified-plan/task-binary growth that motivates the
+   * per-round cut in [[Dedup.connectedComponents]] (that failure needs
+   * dozens of uncut rounds) while letting one job execute a whole segment
+   * of rounds instead of paying driver-sequential latency per round; the
+   * same recompute-vs-rerun trade documented there applies. Rank values
+   * stay < numNodes·scale, so with the default scale = 10⁶ the dampPct
+   * multiply is overflow-safe below ~10¹¹ nodes; `require`d rather than
+   * assumed. */
   def pageRankInt(edges0: DataFrame, iters: Int = 5, scale: Long = 1000000L,
-      dampPct: Int = 85): DataFrame = {
+      dampPct: Int = 85, cutEvery: Int = 3): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(dampPct >= 0 && dampPct <= 100, "dampPct must be in [0, 100]")
+    require(cutEvery >= 1, "cutEvery must be >= 1")
     val edges = edges0.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst")).distinct().persist()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct().persist()
+    // out-degree pre-joined ONCE (r6): the previous form re-ran the
+    // outdeg aggregate AND its join inside every round's plan — two of the
+    // four per-round exchanges for a value that never changes.
+    val wedges = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("d")), Seq("src"))
+      .select(col("src"), col("dst"), col("d")).persist()
     try {
       val nNodes = nodes.count()
       require(nNodes == 0 || scale <= Long.MaxValue / math.max(1L, nNodes) / 100,
         s"scale=$scale risks 64-bit overflow at $nNodes nodes")
-      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("d"))
       val base = scale * (100 - dampPct) / 100
-      var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
-      for (_ <- 1 to iters) {
-        val contrib = edges.join(ranks, edges("src") === ranks("node"))
-          .join(outdeg, Seq("src"))
-          .select(col("dst"),
+      // per-node zero rows ride the aggregate so every node gets base even
+      // with no in-edges — replaces the previous per-round nodes⋈sums LEFT
+      // join (one fewer join + exchange per round; integer sum is
+      // order-independent, so the result is bit-identical).
+      val zeros = nodes.select(col("node"), lit(0L).as("contrib"))
+      var ranks = nodes.withColumn("rank", lit(scale))
+      if (iters == 0) return ranks.localCheckpoint(true)
+      // Lineage is cut every `cutEvery` rounds rather than every round: the
+      // eager per-round localCheckpoint made each round its own job (5 jobs
+      // of driver-sequential latency for q37's 5 iterations); chaining a few
+      // rounds into one plan keeps the stringified-plan/task-binary growth
+      // bounded (the Dedup.connectedComponents failure mode needs dozens of
+      // UNCUT rounds) while an action runs the whole segment as one job.
+      var lastCp: Option[DataFrame] = None
+      var sinceCut = 0
+      for (i <- 1 to iters) {
+        val contrib = wedges.join(ranks, wedges("src") === ranks("node"))
+          .select(col("dst").as("node"),
             expr(s"(rank * $dampPct) div 100 div d").as("contrib"))
-        val sums = contrib.groupBy("dst").agg(sum(col("contrib")).as("s"))
-        val next = nodes.join(sums, nodes("node") === sums("dst"), "left")
-          .select(col("node"),
-            (lit(base) + coalesce(col("s"), lit(0L))).as("rank"))
-          .localCheckpoint(true)
-        Dedup.freeCheckpoint(ranks)
-        ranks = next
+        val next = contrib.unionByName(zeros)
+          .groupBy("node").agg((lit(base) + sum(col("contrib"))).as("rank"))
+        sinceCut += 1
+        if (sinceCut >= cutEvery || i == iters) {
+          val cut = next.localCheckpoint(true)
+          lastCp.foreach(Dedup.freeCheckpoint)
+          lastCp = Some(cut)
+          ranks = cut
+          sinceCut = 0
+        } else ranks = next
       }
       ranks
-    } finally { edges.unpersist(); nodes.unpersist(); () }
+    } finally { edges.unpersist(); nodes.unpersist(); wedges.unpersist(); () }
   }
 }

@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
  *
  *  1. **Count gate.** On a Zipf frontier most HOSTS are under the cap (the
  *     long tail) — those rows are all selected and never need ranking. A
- *     map-side-combinable host count splits the frontier; only over-cap
- *     hosts' rows enter the sort machinery. The count table is tiny per
- *     host, so AQE broadcasts it at bench scale and falls back to a hash
- *     join at cluster scale — either beats sort-shuffling every row.
+ *     map-side-combinable host count, filtered to the OVER-CAP hosts
+ *     (bounded by rows/cap), splits the frontier; only over-cap hosts'
+ *     rows enter the sort machinery. The small over-cap side broadcasts
+ *     under AQE, so the frontier itself is not exchanged for the split;
+ *     past the broadcast threshold AQE falls back to a skew-split shuffle
+ *     join — either beats sort-shuffling every row.
  *  2. **Salted two-stage top-k** for the over-cap subset: a single
  *     `Window.partitionBy(host)` would put every row of a hot host in one
  *     partition, so rank within (host, salt) first — any row ranked > k
@@ -40,26 +42,42 @@ object Politeness {
   /** The count-gated salted top-k over a PER-ROW cap column `_k` (constant
    * within each host — it is host-derived: the plain cap, or 1 for
    * crawl-delayed hosts). One host-count aggregate and one ranking pass
-   * whatever mix of caps is present; `_k` is consumed. */
+   * whatever mix of caps is present; `_k` is consumed.
+   *
+   * r6 gate shape: the count table is filtered to OVER-CAP hosts before the
+   * join. That set is bounded by rows/cap (a host needs > cap rows to enter
+   * it), so on a Zipf frontier it is thousands of rows where the full count
+   * table is host-cardinality — the previous full-table join forced the
+   * whole frontier through a host-keyed exchange (+ its sort-merge sorts;
+   * ~540 MB and the dominant politeness cost at the steady-state bench);
+   * against the small over-cap side AQE picks a broadcast join and the
+   * frontier's big side is NOT exchanged at all. If the over-cap set ever
+   * outgrows the broadcast threshold, AQE falls back to exactly the
+   * previous shuffle join, skew-split included — strictly no worse. */
   private def markTopKVarCap(tasks: DataFrame, saltBuckets: Int): DataFrame = {
     val order = Seq(col("priority").asc, col("next_fetch").asc, col("url").asc)
-    val counts = tasks.groupBy(col("host")).agg(count(lit(1)).as("_hn"))
-      .withColumnRenamed("host", "_chost")
+    // _k is host-constant, so max(_k) IS the host's cap; keeping the filter
+    // inside the aggregate output leaves rows/cap as the join side's bound
+    val overCounts = tasks.groupBy(col("host"))
+      .agg(count(lit(1)).as("_hn"), max(col("_k")).as("_hk"))
+      .filter(col("_hn") > col("_hk"))
+      .select(col("host").as("_chost"), col("_hn"))
     // NULL-SAFE join (<=>): contract-violating null-host rows match their own
     // group-count row (groupBy and Window both treat nulls as one group), so
     // they flow through the same under-cap/ranking split as any host — the
     // pure-window formulation's behaviour exactly: kept, ranked together,
     // capped at k. A plain equi-join would never match null keys and either
     // drop the rows or (with a coalesce-to-1 fallback) select ALL of them
-    // uncapped. The coalesce stays as defence in depth only.
-    val joined = tasks.join(counts, col("host") <=> col("_chost"), "left")
+    // uncapped.
+    val joined = tasks.join(overCounts, col("host") <=> col("_chost"), "left")
       .drop("_chost")
-      .withColumn("_hn", coalesce(col("_hn"), lit(1L)))
-    // long tail: whole host fits under its cap — selected without ranking
-    val under = joined.filter(col("_hn") <= col("_k"))
+    // long tail: host absent from the over-cap side ⇒ its whole row set fits
+    // under its cap — selected without ranking (k = 0 cannot land here: every
+    // host with ≥ 1 row then has _hn > 0 = _k and joins non-null)
+    val under = joined.filter(col("_hn").isNull)
       .drop("_hn", "_k").withColumn("selected", lit(true))
     // hot heads: exact two-stage salted top-k against the per-host cap
-    val over = joined.filter(col("_hn") > col("_k")).drop("_hn")
+    val over = joined.filter(col("_hn").isNotNull).drop("_hn")
     val salted = over.withColumn("_salt", pmod(xxhash64(col("url")), lit(saltBuckets)))
     val w1 = Window.partitionBy(col("host"), col("_salt")).orderBy(order: _*)
     val stage1 = salted.withColumn("_rn1", row_number().over(w1))

@@ -211,8 +211,11 @@ object Similarity {
    * re-attach exactly once per SURVIVING candidate for the cosine. */
   def lshTopK(vectors: DataFrame, k: Int, bits: Int = 16, tables: Int = 4,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // normalization is re-read by every signature table and both re-attach
+    // joins (tables + 2 subtree scans); cache it once — the unit-norm table
+    // IS the operator's index, the standard resident state of an ANN query
     val unit = withUnitNorm(vectors.select(col(idCol), col(embCol)), embCol)
-      .select(col(idCol).as("id"), col("unit"))
+      .select(col(idCol).as("id"), col("unit")).persist()
     val tablesDf = (0 until tables).map { t =>
       unit.select(col("id"),
         concat_ws(":", lit(t), hpSigUdf(col("unit"), lit(bits), lit(t))).as("band_key"))
@@ -223,9 +226,13 @@ object Similarity {
       .filter(col("vec_id") =!= col("neighbour_id"))
       .select("vec_id", "neighbour_id")
       .dropDuplicates("vec_id", "neighbour_id")
+    // neighbour re-attach FIRST, vec_id last: when these joins shuffle (at
+    // scale; they broadcast at bench size), the last exchange leaves the
+    // rows hash-partitioned by vec_id — exactly the rank window's
+    // partitionBy key, so the window adds no exchange of its own (§2.4)
     val scored = cand
-      .join(unit.select(col("id").as("vec_id"), col("unit").as("q_unit")), Seq("vec_id"))
       .join(unit.select(col("id").as("neighbour_id"), col("unit").as("c_unit")), Seq("neighbour_id"))
+      .join(unit.select(col("id").as("vec_id"), col("unit").as("q_unit")), Seq("vec_id"))
       .withColumn("cosine", dotUdf(col("q_unit"), col("c_unit")))
       .select("vec_id", "neighbour_id", "cosine")
     val w = Window.partitionBy("vec_id")
@@ -365,9 +372,11 @@ object Similarity {
         .filter(col("vec_id") =!= col("neighbour_id"))
         .select("vec_id", "neighbour_id")
         .dropDuplicates("vec_id", "neighbour_id")
+      // neighbour first, vec_id last — the final exchange (when shuffling at
+      // scale) then matches the rank window's partitionBy(vec_id), §2.4
       val scored = cand
-        .join(unit.select(col("id").as("vec_id"), col("unit").as("q_unit")), Seq("vec_id"))
         .join(unit.select(col("id").as("neighbour_id"), col("unit").as("c_unit")), Seq("neighbour_id"))
+        .join(unit.select(col("id").as("vec_id"), col("unit").as("q_unit")), Seq("vec_id"))
         .withColumn("cosine", dotUdf(col("q_unit"), col("c_unit")))
         .select("vec_id", "neighbour_id", "cosine")
       val w = Window.partitionBy("vec_id")
@@ -375,11 +384,16 @@ object Similarity {
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select("vec_id", "neighbour_id", "cosine", "rank")
-    } finally {
-      // the cache earns its keep on the two driver actions above (seed scan +
-      // refine pass); the final plan re-derives `unit` with one narrow UDF
-      // pass instead of pinning executor memory for the caller's lifetime
-      unit.unpersist()
+    } catch {
+      // on failure nothing downstream will read the cache — release it
+      case e: Throwable => unit.unpersist(); throw e
     }
+    // deliberately NOT unpersisted on success (r6): the returned plan reads
+    // `unit` four times (probe index, query explode, both cosine re-attach
+    // joins) — unpersisting here re-derived it with four parquet scans + four
+    // normalization passes in the final job. The cached unit-norm table is
+    // the operator's index (resident state of an ANN query); callers that
+    // need the memory back clear the session cache after consuming the
+    // result, which is what Bench does between its phases.
   }
 }
