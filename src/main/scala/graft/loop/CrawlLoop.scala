@@ -245,6 +245,11 @@ object CrawlLoop {
       settled.collectFirst { case scala.util.Failure(e) => throw e }
     }
 
+    // metrics writes are observability-only and land AFTER the commit fence;
+    // submitted async (r6) so their job latency leaves the per-generation
+    // wall — awaited once before returning so failures still surface
+    val metricsFuts = Seq.newBuilder[scala.concurrent.Future[Unit]]
+
     try {
 
     while (gen <= maxGens && frontierRows > 0L) {
@@ -364,6 +369,22 @@ object CrawlLoop {
       val obsFrontier = Observation()
       val obsSeen = Observation()
       val obsOut = Observation()
+      // the sketch's routed insert + file checkpoint reads only the persisted
+      // discovered frame — independent of the parquet writes, so it joins the
+      // concurrent batch (r6; it previously ran as its own sequential phase
+      // after awaitAll, adding its full wall to every generation). Only the
+      // RARE degraded-rebuild path needs this generation's seen files on
+      // disk; it runs after the barrier below.
+      val sketchFut: Option[scala.concurrent.Future[
+          (RDD[SeenShard], Seq[ShardStore.ShardMeta])]] =
+        if (!useSketch) None
+        else shards.map { prev => scala.concurrent.Future {
+          stageMetrics.labelled(gen, "sketch_build") {
+            val updated = ShardStore.update(
+              prev, res.discovered.select("url").as[String])
+            (updated, ShardStore.write(updated, io.sketchDir(gen), cfg.shardFillCap))
+          }
+        }}
       awaitAll(Seq(
         scala.concurrent.Future {
           stageMetrics.labelled(gen, "frontier_write") {
@@ -413,20 +434,20 @@ object CrawlLoop {
             nr.withColumn("fetched_gen", lit(gen))
               .write.mode("overwrite").parquet(io.genDir("robots", gen))
           }
-        }))
+        }) ++
+        // the concurrent sketch insert+checkpoint (see sketchFut above) —
+        // awaited in the same barrier so a failure surfaces with the writes
+        sketchFut.map(f => f.map(_ => ())))
 
-      // ---- incremental seen-sketch maintenance (the discovered set is still
-      //      persisted from the step; no seen rescan unless a shard rebuilds)
-      if (useSketch) stageMetrics.labelled(gen, "sketch_build") {
-        shards.foreach { prev =>
-          // routed per-shard insert of this generation's delta (copies —
-          // the persisted parents stay immutable), checkpointed to files in
-          // the SAME action; the write metadata carries each shard's
-          // degradation flag, so a healthy generation pays exactly one
-          // sketch job and moves only (id, items, bytes, flag) to the driver
-          val updated = ShardStore.update(
-            prev, res.discovered.select("url").as[String])
-          val meta = ShardStore.write(updated, io.sketchDir(gen), cfg.shardFillCap)
+      // ---- incremental seen-sketch maintenance: the routed insert + file
+      // checkpoint already ran concurrently with the writes (sketchFut);
+      // here only the RARE degraded-rebuild path (which needs this
+      // generation's just-written seen files) and the shard swap remain
+      sketchFut.foreach { f =>
+        val fr = scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf)
+        locally {
+          val (updated, meta) = fr
           val degraded = meta.filter(_.needsRebuild).map(_.id).toSet
           if (degraded.nonEmpty) {
             // rare path: degraded shards (bloom fill past the cap / cuckoo
@@ -530,13 +551,18 @@ object CrawlLoop {
       // after the commit fence: metrics are observability, not crawl state
       // (a crash here loses one generation's timings, never data).
       val stageRows = stageMetrics.drain(gen)
-      if (stageRows.nonEmpty)
-        spark.createDataFrame(stageRows)
-          .write.mode("overwrite").parquet(io.genDir("metrics", gen))
+      if (stageRows.nonEmpty) {
+        val mgen = gen
+        metricsFuts += scala.concurrent.Future {
+          spark.createDataFrame(stageRows)
+            .write.mode("overwrite").parquet(io.genDir("metrics", mgen))
+        }
+      }
 
       frontierRows = nextRows
       gen += 1
     }
+    awaitAll(metricsFuts.result())
     RunResult(stats.result(), gen - 1)
     } finally {
       writePool.shutdown()

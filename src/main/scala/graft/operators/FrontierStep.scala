@@ -420,7 +420,11 @@ object FrontierStep {
     val hostFilter = cfg.filter
     val keepHost = udf((h: String) => hostFilter.keep(if (h == null) "" else h))
     val obsAllowed = new org.apache.spark.sql.Observation(s"allowed_g$gen")
-    val hostFiltered = candidatesObs.filter(keepHost(col("host")))
+    // NoFilter keeps everything — don't pay a per-candidate UDF round-trip
+    // for a constant-true predicate (F1 is the common production setting)
+    val hostFiltered =
+      if (hostFilter == HostFilter.NoFilter) candidatesObs
+      else candidatesObs.filter(keepHost(col("host")))
     var newRobotsOut: Option[DataFrame] = None
     val robotsFiltered =
       if (!cfg.useRobots) hostFiltered

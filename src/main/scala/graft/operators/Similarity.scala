@@ -368,10 +368,22 @@ object Similarity {
       val queries = unit
         .select(col("id").as("vec_id"),
           explode(probeLists(col("unit"), lit(nProbe))).as("list"))
+      // no pair dedup needed (unlike lshTopK): each neighbour lives in
+      // EXACTLY one list and a query's probed lists are distinct, so the
+      // list join emits every (vec, neighbour) pair at most once — the
+      // previous dropDuplicates was an exchange + aggregate for an identity.
+      // The explicit hash repartition keeps what that exchange silently
+      // provided: the candidate fan-out (|queries|·n/nLists pairs per probed
+      // list) spreads across the cluster BEFORE the dot-product re-attach
+      // (with the small sides broadcast, nothing else would break the
+      // list-join's few-partition layout — measured as one straggler task
+      // computing every cosine). Ids-only rows move, and hash(vec_id) is
+      // exactly the rank window's required distribution, so the window adds
+      // no exchange after it.
       val cand = queries.join(indexed, Seq("list"))
         .filter(col("vec_id") =!= col("neighbour_id"))
         .select("vec_id", "neighbour_id")
-        .dropDuplicates("vec_id", "neighbour_id")
+        .repartition(col("vec_id"))
       // neighbour first, vec_id last — the final exchange (when shuffling at
       // scale) then matches the rank window's partitionBy(vec_id), §2.4
       val scored = cand
