@@ -1,12 +1,43 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scratch phase-level probe for optimization work — not part of the
  * deliverable surface; timings cited in OPTIMIZATION_r06.md come from
- * Bench/BenchExtra. */
+ * Bench/BenchExtra. Current contents: same-JVM interleaved A/B of the
+ * politeness formulations on the steady-state frontier (co-tenant-load
+ * robust: variants alternate within one session). */
 object ScratchProbe {
+
+  /** The r5 politeness shape (full count-table join, no boundary prune) —
+   * local copy for A/B only. */
+  private def markTopKOld(tasks: DataFrame, k: Int, saltBuckets: Int): DataFrame = {
+    val t = tasks.withColumn("_k", lit(k.toLong))
+    val order = Seq(col("priority").asc, col("next_fetch").asc, col("url").asc)
+    val counts = t.groupBy(col("host")).agg(count(lit(1)).as("_hn"))
+      .withColumnRenamed("host", "_chost")
+    val joined = t.join(counts, col("host") <=> col("_chost"), "left")
+      .drop("_chost")
+      .withColumn("_hn", coalesce(col("_hn"), lit(1L)))
+    val under = joined.filter(col("_hn") <= col("_k"))
+      .drop("_hn", "_k").withColumn("selected", lit(true))
+    val over = joined.filter(col("_hn") > col("_k")).drop("_hn")
+    val salted = over.withColumn("_salt", pmod(xxhash64(col("url")), lit(saltBuckets)))
+    val w1 = Window.partitionBy(col("host"), col("_salt")).orderBy(order: _*)
+    val stage1 = salted.withColumn("_rn1", row_number().over(w1))
+    val survivors = stage1.filter(col("_rn1") <= col("_k"))
+      .withColumn("_rn2",
+        row_number().over(Window.partitionBy(col("host")).orderBy(order: _*)))
+      .withColumn("selected", col("_rn2") <= col("_k"))
+      .drop("_salt", "_rn1", "_rn2", "_k")
+    val losers = stage1.filter(col("_rn1") > col("_k"))
+      .withColumn("selected", lit(false))
+      .drop("_salt", "_rn1", "_k")
+    under.unionByName(survivors).unionByName(losers)
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -19,77 +50,26 @@ object ScratchProbe {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(0, 2000000, 1, 32).selectExpr("sum(id % 7)").collect()
 
-    def t[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"  [$label] ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-
-    // --- single-thread kernel micro-benchmarks --------------------------------
     val cfg = graft.corpus.CorpusConfig(seed = 42L, numHosts = 1200000, maxPages = 400000)
-    val urls = (0 until 200000).map(i => graft.corpus.CorpusGen.pageUrl(i % 100000, i % 4)).toArray
-    t("kernel resolvePage x200k") {
-      var ok = 0
-      urls.foreach(u => if (graft.corpus.CorpusGen.resolvePage(cfg, u).isInstanceOf[graft.corpus.CorpusGen.PageLookup.Found]) ok += 1)
-      ok
-    }
-    t("kernel pageHrefs x50k") {
-      var n = 0
-      (0 until 50000).foreach(i => n += graft.corpus.CorpusGen.pageHrefs(cfg, i % 10000, 0).length)
-      n
-    }
-    val hrefs = (0 until 50000).flatMap(i => graft.corpus.CorpusGen.pageHrefs(cfg, i % 1000, 0)).toArray
-    println(s"  hrefs n=${hrefs.length}")
-    t("kernel resolveCanonHost x" + hrefs.length) {
-      var n = 0
-      val base = "http://h17.example/p0"
-      hrefs.foreach(h => if (graft.core.UrlCanon.resolveCanonHost(base, h).isDefined) n += 1)
-      n
-    }
-    t("kernel priorityOf x200k") {
-      var s = 0L; urls.foreach(u => s += graft.operators.FrontierStep.priorityOf(u)); s
-    }
+    val frontier = BenchFrontier.allPages(spark, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"frontier rows=${frontier.count()}")
 
-    // --- steady-state stage dissection (mirrors Bench phase 1) ----------------
-    val ssCfg = graft.operators.CrawlConfig(corpus = cfg, perHostCap = 200,
-      bloomExpectedItems = 1L << 23,
-      fetchMode = graft.operators.FetchMode.Generator)
-    val megaFrontier = BenchFrontier.allPages(spark, cfg)
-    t("frontier materialize count") { megaFrontier.count() }
-    val marked = t("politeness markTopKPerHost count") {
-      val m = graft.operators.Politeness.markTopKPerHost(megaFrontier, 200, 16)
-      m.filter(col("selected")).count()
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"  [$label] ${(System.nanoTime() - t0) / 1e9}%6.2f s  (n=$n)  load=${
+        scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").head}")
     }
-    println(s"  selected=$marked")
-    val fetchable = graft.operators.Politeness.markTopKPerHost(megaFrontier, 200, 16)
-      .filter(col("selected")).drop("selected")
-      .repartition(spark.sparkContext.defaultParallelism * 3, col("url"))
-    t("politeness+repartition count") { fetchable.count() }
-    val classify = udf((url: String) => graft.corpus.CorpusGen.resolvePage(cfg, url) match {
-      case graft.corpus.CorpusGen.PageLookup.Found(_, _) => "Ok"
-      case graft.corpus.CorpusGen.PageLookup.NotFound    => "Err"
-      case _                                             => "Reject"
-    })
-    val fetched = fetchable.withColumn("outcome", classify(col("url")))
-    t("(+classify) count") { fetched.filter(col("outcome") === "Ok").count() }
-    import spark.implicits._
-    val links = fetched.filter(col("outcome") === "Ok").select("url").as[String]
-      .mapPartitions { it =>
-        it.flatMap { base =>
-          graft.corpus.CorpusGen.resolvePage(cfg, base) match {
-            case graft.corpus.CorpusGen.PageLookup.Found(h, p) =>
-              val inPage = new java.util.HashSet[String]()
-              graft.corpus.CorpusGen.pageHrefs(cfg, h, p).iterator.flatMap { href =>
-                graft.core.UrlCanon.resolveCanonHost(base, href) match {
-                  case Some((u, host)) if inPage.add(u) => Iterator.single((u, host))
-                  case _ => Iterator.empty
-                }
-              }
-            case _ => Iterator.empty
-          }
-        }
-      }.toDF("url", "host")
-    t("(+links extract) count") { links.count() }
-    t("(+dedup) count") { links.dropDuplicates("url").count() }
+    (1 to 4).foreach { rep =>
+      time(s"OLD rep$rep") {
+        markTopKOld(frontier, 200, 16).filter(col("selected")).count()
+      }
+      time(s"NEW rep$rep") {
+        graft.operators.Politeness.markTopKPerHost(frontier, 200, 16)
+          .filter(col("selected")).count()
+      }
+    }
     spark.stop()
   }
 }

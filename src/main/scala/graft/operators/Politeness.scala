@@ -76,7 +76,15 @@ object Politeness {
     // host with ≥ 1 row then has _hn > 0 = _k and joins non-null)
     val under = joined.filter(col("_hn").isNull)
       .drop("_hn", "_k").withColumn("selected", lit(true))
-    // hot heads: exact two-stage salted top-k against the per-host cap
+    // hot heads: exact two-stage salted top-k against the per-host cap.
+    // (A priority-boundary prune — decide all but one priority class per
+    // host arithmetically from (host, priority) counts and rank only the
+    // boundary class — was tried this round and REVERTED: it cuts the
+    // stage-1 sort input ~10×, but the extra union branches re-scan the
+    // frontier subtree once each, and a same-JVM interleaved A/B on the 6M-row
+    // steady-state frontier measured it ~2× SLOWER (6.4–7.9 s vs 2.9–4.4 s);
+    // the sort was never the politeness bottleneck — the per-branch frontier
+    // passes are. OPTIMIZATION_r06.md §politeness has the numbers.)
     val over = joined.filter(col("_hn").isNotNull).drop("_hn")
     val salted = over.withColumn("_salt", pmod(xxhash64(col("url")), lit(saltBuckets)))
     val w1 = Window.partitionBy(col("host"), col("_salt")).orderBy(order: _*)
