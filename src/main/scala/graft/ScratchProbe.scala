@@ -6,13 +6,13 @@ import org.apache.spark.sql.functions._
 
 /** Scratch phase-level probe for optimization work — not part of the
  * deliverable surface; timings cited in OPTIMIZATION_r06.md come from
- * Bench/BenchExtra. Current contents: same-JVM interleaved A/B of the
- * politeness formulations on the steady-state frontier (co-tenant-load
- * robust: variants alternate within one session). */
+ * Bench/BenchExtra. Current contents: (a) the politeness boundary-prune
+ * A/B that motivated its revert (see markTopKOld below), (b) link-stream
+ * duplicate-rate measurement for the within-partition pre-dedup decision. */
 object ScratchProbe {
 
   /** The r5 politeness shape (full count-table join, no boundary prune) —
-   * local copy for A/B only. */
+   * kept for the A/B record (OPTIMIZATION_r06.md §politeness). */
   private def markTopKOld(tasks: DataFrame, k: Int, saltBuckets: Int): DataFrame = {
     val t = tasks.withColumn("_k", lit(k.toLong))
     val order = Seq(col("priority").asc, col("next_fetch").asc, col("url").asc)
@@ -48,28 +48,62 @@ object ScratchProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
     spark.range(0, 2000000, 1, 32).selectExpr("sum(id % 7)").collect()
 
     val cfg = graft.corpus.CorpusConfig(seed = 42L, numHosts = 1200000, maxPages = 400000)
-    val frontier = BenchFrontier.allPages(spark, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    println(s"frontier rows=${frontier.count()}")
-
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"  [$label] ${(System.nanoTime() - t0) / 1e9}%6.2f s  (n=$n)  load=${
         scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").head}")
     }
-    (1 to 4).foreach { rep =>
-      time(s"OLD rep$rep") {
-        markTopKOld(frontier, 200, 16).filter(col("selected")).count()
-      }
-      time(s"NEW rep$rep") {
-        graft.operators.Politeness.markTopKPerHost(frontier, 200, 16)
-          .filter(col("selected")).count()
-      }
-    }
+
+    // --- link-stream duplicate rates on the steady-state selection ----------
+    val frontier = BenchFrontier.allPages(spark, cfg)
+    val fetchable = graft.operators.Politeness.markTopKPerHost(frontier, 200, 16)
+      .filter(col("selected")).drop("selected")
+      .repartition(spark.sparkContext.defaultParallelism * 3, col("url"))
+      .persist()
+    println(s"selected=${fetchable.count()}")
+    val links = fetchable.select("url").as[String]
+      .mapPartitions { it =>
+        it.flatMap { base =>
+          graft.corpus.CorpusGen.resolvePage(cfg, base) match {
+            case graft.corpus.CorpusGen.PageLookup.Found(h, p) =>
+              val inPage = new java.util.HashSet[String]()
+              graft.corpus.CorpusGen.pageHrefs(cfg, h, p).iterator.flatMap { href =>
+                graft.core.UrlCanon.resolveCanonHost(base, href) match {
+                  case Some((u, host)) if inPage.add(u) => Iterator.single((u, host))
+                  case _ => Iterator.empty
+                }
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }.toDF("url", "host")
+    time("links raw count") { links.count() }
+    val linksPartDedup = fetchable.select("url").as[String]
+      .mapPartitions { it =>
+        val inPart = new java.util.HashSet[String]()
+        it.flatMap { base =>
+          graft.corpus.CorpusGen.resolvePage(cfg, base) match {
+            case graft.corpus.CorpusGen.PageLookup.Found(h, p) =>
+              graft.corpus.CorpusGen.pageHrefs(cfg, h, p).iterator.flatMap { href =>
+                graft.core.UrlCanon.resolveCanonHost(base, href) match {
+                  case Some((u, host)) if inPart.add(u) => Iterator.single((u, host))
+                  case _ => Iterator.empty
+                }
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }.toDF("url", "host")
+    time("links part-dedup count") { linksPartDedup.count() }
+    time("global dedup (from raw)") { links.dropDuplicates("url").count() }
+    time("global dedup (from part-dedup)") { linksPartDedup.dropDuplicates("url").count() }
+    time("global dedup (from raw) again") { links.dropDuplicates("url").count() }
+    time("global dedup (from part-dedup) again") { linksPartDedup.dropDuplicates("url").count() }
     spark.stop()
   }
 }

@@ -216,10 +216,13 @@ object Similarity {
     // IS the operator's index, the standard resident state of an ANN query
     val unit = withUnitNorm(vectors.select(col(idCol), col(embCol)), embCol)
       .select(col(idCol).as("id"), col("unit")).persist()
-    val tablesDf = (0 until tables).map { t =>
-      unit.select(col("id"),
-        concat_ws(":", lit(t), hpSigUdf(col("unit"), lit(bits), lit(t))).as("band_key"))
-    }.reduce(_ unionByName _)
+    // all `tables` signatures in ONE projection + explode (r6): the previous
+    // per-table union gave the plan `tables` near-identical branches — one
+    // whole-stage-codegen compile and one cache scan each — for the same
+    // band keys this single pass emits
+    val tablesDf = unit.select(col("id"), explode(array((0 until tables).map { t =>
+      concat_ws(":", lit(t), hpSigUdf(col("unit"), lit(bits), lit(t)))
+    }: _*)).as("band_key"))
     val a = tablesDf.select(col("band_key"), col("id").as("vec_id"))
     val b = tablesDf.select(col("band_key"), col("id").as("neighbour_id"))
     val cand = a.join(b, Seq("band_key"))
