@@ -38,6 +38,40 @@ object ScratchProbe {
     under.unionByName(survivors).unionByName(losers)
   }
 
+
+  /** r5 lshTopK band construction (per-table union) — A/B only. */
+  private def lshTopKUnion(vectors: DataFrame, k: Int, bits: Int, tables: Int): DataFrame = {
+    import graft.functions.TextFunctions
+    val hpSigUdf = udf((v: Seq[Float], bits: Int, table: Int) =>
+      TextFunctions.hyperplaneSignature(v.toArray, bits, table))
+    val normalizeUdf = udf((v: Seq[Float]) => {
+      val a = v.toArray
+      val n = TextFunctions.norm(a)
+      if (n == 0.0) a else a.map(x => (x / n).toFloat)
+    })
+    val dotUdf = udf((a: Seq[Float], b: Seq[Float]) => TextFunctions.dot(a.toArray, b.toArray))
+    val unit = vectors.select(col("vec_id").as("id"), normalizeUdf(col("embedding")).as("unit")).persist()
+    val tablesDf = (0 until tables).map { t =>
+      unit.select(col("id"),
+        concat_ws(":", lit(t), hpSigUdf(col("unit"), lit(bits), lit(t))).as("band_key"))
+    }.reduce(_ unionByName _)
+    val a = tablesDf.select(col("band_key"), col("id").as("vec_id"))
+    val b = tablesDf.select(col("band_key"), col("id").as("neighbour_id"))
+    val cand = a.join(b, Seq("band_key"))
+      .filter(col("vec_id") =!= col("neighbour_id"))
+      .select("vec_id", "neighbour_id")
+      .dropDuplicates("vec_id", "neighbour_id")
+    val scored = cand
+      .join(unit.select(col("id").as("neighbour_id"), col("unit").as("c_unit")), Seq("neighbour_id"))
+      .join(unit.select(col("id").as("vec_id"), col("unit").as("q_unit")), Seq("vec_id"))
+      .withColumn("cosine", dotUdf(col("q_unit"), col("c_unit")))
+      .select("vec_id", "neighbour_id", "cosine")
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbour_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("vec_id", "neighbour_id", "cosine", "rank")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -48,62 +82,25 @@ object ScratchProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
     spark.range(0, 2000000, 1, 32).selectExpr("sum(id % 7)").collect()
-
-    val cfg = graft.corpus.CorpusConfig(seed = 42L, numHosts = 1200000, maxPages = 400000)
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"  [$label] ${(System.nanoTime() - t0) / 1e9}%6.2f s  (n=$n)  load=${
         scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").head}")
     }
-
-    // --- link-stream duplicate rates on the steady-state selection ----------
-    val frontier = BenchFrontier.allPages(spark, cfg)
-    val fetchable = graft.operators.Politeness.markTopKPerHost(frontier, 200, 16)
-      .filter(col("selected")).drop("selected")
-      .repartition(spark.sparkContext.defaultParallelism * 3, col("url"))
-      .persist()
-    println(s"selected=${fetchable.count()}")
-    val links = fetchable.select("url").as[String]
-      .mapPartitions { it =>
-        it.flatMap { base =>
-          graft.corpus.CorpusGen.resolvePage(cfg, base) match {
-            case graft.corpus.CorpusGen.PageLookup.Found(h, p) =>
-              val inPage = new java.util.HashSet[String]()
-              graft.corpus.CorpusGen.pageHrefs(cfg, h, p).iterator.flatMap { href =>
-                graft.core.UrlCanon.resolveCanonHost(base, href) match {
-                  case Some((u, host)) if inPage.add(u) => Iterator.single((u, host))
-                  case _ => Iterator.empty
-                }
-              }
-            case _ => Iterator.empty
-          }
-        }
-      }.toDF("url", "host")
-    time("links raw count") { links.count() }
-    val linksPartDedup = fetchable.select("url").as[String]
-      .mapPartitions { it =>
-        val inPart = new java.util.HashSet[String]()
-        it.flatMap { base =>
-          graft.corpus.CorpusGen.resolvePage(cfg, base) match {
-            case graft.corpus.CorpusGen.PageLookup.Found(h, p) =>
-              graft.corpus.CorpusGen.pageHrefs(cfg, h, p).iterator.flatMap { href =>
-                graft.core.UrlCanon.resolveCanonHost(base, href) match {
-                  case Some((u, host)) if inPart.add(u) => Iterator.single((u, host))
-                  case _ => Iterator.empty
-                }
-              }
-            case _ => Iterator.empty
-          }
-        }
-      }.toDF("url", "host")
-    time("links part-dedup count") { linksPartDedup.count() }
-    time("global dedup (from raw)") { links.dropDuplicates("url").count() }
-    time("global dedup (from part-dedup)") { linksPartDedup.dropDuplicates("url").count() }
-    time("global dedup (from raw) again") { links.dropDuplicates("url").count() }
-    time("global dedup (from part-dedup) again") { linksPartDedup.dropDuplicates("url").count() }
+    (1 to 3).foreach { rep =>
+      time(s"UNION   rep$rep") {
+        val r = lshTopKUnion(emb, 5, 8, 4).groupBy("vec_id").count().count()
+        spark.catalog.clearCache(); r
+      }
+      time(s"EXPLODE rep$rep") {
+        val r = graft.operators.Similarity.lshTopK(emb, 5, 8, 4)
+          .groupBy("vec_id").count().count()
+        spark.catalog.clearCache(); r
+      }
+    }
     spark.stop()
   }
 }
